@@ -1,0 +1,87 @@
+"""Physics pipeline: forward() and step(), the public single-env API.
+
+These mirror the role of mjx.forward / mjx.step in the reference
+(safe_rl_envs/safe_rl_envs/envs/engine.py:655,668-670). They operate on ONE
+environment; the env layer wraps them in jax.vmap over the batch axis and
+jit/shard_map over the device mesh.
+
+Integration: semi-implicit Euler with implicit joint damping —
+  (M + h*diag(damping)) * qacc = tau - bias - damping*qvel
+  qvel' = qvel + h*qacc ; qpos' = integrate(qpos, qvel', h)
+— the same scheme as MuJoCo's default Euler integrator. `model.substeps`
+internal substeps per step() keep stiff robots (ant: timestep 0.09) stable
+under the penalty contact model.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve
+
+from guardx_tpu.physics import collision, dynamics, kinematics
+from guardx_tpu.physics.model import Model, Data
+
+
+def _smooth_dynamics(model: Model, qpos, qvel, ctrl, h):
+    """One dynamics evaluation: returns (qacc, fk results)."""
+    xpos, xquat, xmat, xipos, S, origin = kinematics.fk(model, qpos)
+    M, bias = dynamics.mass_bias(model, qvel, xmat, xipos, xquat, S, origin)
+    # implicit damping: fold h*D into the LHS
+    Mh = M + h * jnp.diag(model.dof_damping)
+    chol = cho_factor(Mh)
+
+    tau = dynamics.actuator_force(model, ctrl)
+    tau = tau + dynamics.passive_force(model, qpos, qvel)
+    tau = tau + dynamics.limit_force(model, qpos, qvel, jnp.diag(M), h)
+    tau = tau + collision.contact_force(
+        model, qvel, xpos, xmat, S, origin, chol, h
+    )
+
+    rhs = tau - bias - model.dof_damping * qvel
+    qacc = cho_solve(chol, rhs)
+    return qacc, (xpos, xquat, xmat, xipos)
+
+
+def forward(model: Model, data: Data) -> Data:
+    """Recompute derived quantities (FK, qacc) without integrating.
+
+    Mirrors mjx.forward as used at reference engine.py:655 (after reset).
+    """
+    h = model.timestep / model.substeps
+    qacc, (xpos, xquat, xmat, xipos) = _smooth_dynamics(
+        model, data.qpos, data.qvel, data.ctrl, h
+    )
+    return data.replace(qacc=qacc, xpos=xpos, xquat=xquat, xmat=xmat, xipos=xipos)
+
+
+def step(model: Model, data: Data) -> Data:
+    """Advance one control timestep (model.substeps internal substeps).
+
+    Mirrors mjx.step as used at reference engine.py:668-670.
+    """
+    h = model.timestep / model.substeps
+
+    def substep(carry, _):
+        qpos, qvel = carry
+        qacc, (xpos, xquat, xmat, xipos) = _smooth_dynamics(
+            model, qpos, qvel, data.ctrl, h
+        )
+        qvel_new = qvel + h * qacc
+        qpos_new = kinematics.integrate_qpos(model, qpos, qvel_new, xquat, h)
+        return (qpos_new, qvel_new), qacc
+
+    (qpos, qvel), qaccs = jax.lax.scan(
+        substep, (data.qpos, data.qvel), (), length=model.substeps
+    )
+    # refresh kinematics at the final state so xpos/xmat match qpos
+    xpos, xquat, xmat, xipos, _, _ = kinematics.fk(model, qpos)
+    return data.replace(
+        qpos=qpos,
+        qvel=qvel,
+        qacc=qaccs[-1],
+        xpos=xpos,
+        xquat=xquat,
+        xmat=xmat,
+        xipos=xipos,
+    )

@@ -1,0 +1,227 @@
+"""Physics engine validation against host MuJoCo (the golden reference).
+
+The reference delegates device physics to MJX (engine.py:231-232); our
+replacement must agree with MuJoCo's smooth dynamics on the quantities that
+matter: mass matrix, bias forces, kinematics, and contact-free trajectories.
+Contact trajectories are penalty-based (documented divergence), so those are
+checked for physical plausibility (resting height, stability) instead.
+"""
+
+import numpy as np
+import pytest
+
+import mujoco
+import jax
+import jax.numpy as jnp
+
+from guardx_tpu.physics import load_model, make_data, forward, step
+from guardx_tpu.physics import kinematics, dynamics
+
+
+PENDULUM_XML = """
+<mujoco>
+  <option timestep="0.01" gravity="0 0 -9.81"/>
+  <worldbody>
+    <body name="arm" pos="0 0 1">
+      <joint type="hinge" axis="0 1 0" name="shoulder" pos="0 0 0" damping="0.1"/>
+      <geom type="capsule" fromto="0 0 0 0.5 0 0" size="0.05" density="1000"/>
+      <body name="fore" pos="0.5 0 0">
+        <joint type="hinge" axis="0 1 0" name="elbow" pos="0 0 0" damping="0.05"/>
+        <geom type="capsule" fromto="0 0 0 0.4 0 0" size="0.04" density="1000"/>
+      </body>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+FREEBODY_XML = """
+<mujoco>
+  <option timestep="0.005" gravity="0 0 -9.81"/>
+  <worldbody>
+    <body name="box" pos="0 0 1">
+      <freejoint name="box"/>
+      <geom type="box" size="0.1 0.15 0.2" density="500" contype="0" conaffinity="0"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def _mj(xml):
+    m = mujoco.MjModel.from_xml_string(xml)
+    d = mujoco.MjData(m)
+    return m, d
+
+
+def _set_state(mj_model, mj_data, qpos, qvel):
+    mj_data.qpos[:] = qpos
+    mj_data.qvel[:] = qvel
+    mujoco.mj_forward(mj_model, mj_data)
+
+
+@pytest.mark.parametrize("xml", [PENDULUM_XML, FREEBODY_XML])
+def test_mass_matrix_matches_mujoco(xml):
+    mj_model, mj_data = _mj(xml)
+    model, _ = load_model(mj_model)
+    rng = np.random.RandomState(0)
+    for _ in range(3):
+        qpos = rng.uniform(-0.5, 0.5, mj_model.nq)
+        if mj_model.nq == 7:  # free joint: normalize quaternion
+            qpos[3:7] /= np.linalg.norm(qpos[3:7])
+        qvel = rng.uniform(-1, 1, mj_model.nv)
+        _set_state(mj_model, mj_data, qpos, qvel)
+        M_mj = np.zeros((mj_model.nv, mj_model.nv))
+        mujoco.mj_fullM(mj_model, mj_data, M_mj)
+
+        xpos, xquat, xmat, xipos, S, origin = kinematics.fk(model, jnp.asarray(qpos, jnp.float32))
+        M, bias = dynamics.mass_bias(
+            model, jnp.asarray(qvel, jnp.float32), xmat, xipos, xquat, S, origin
+        )
+        np.testing.assert_allclose(np.asarray(M), M_mj, rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(bias), mj_data.qfrc_bias, rtol=2e-3, atol=2e-3
+        )
+
+
+@pytest.mark.parametrize("xml", [PENDULUM_XML, FREEBODY_XML])
+def test_kinematics_matches_mujoco(xml):
+    mj_model, mj_data = _mj(xml)
+    model, _ = load_model(mj_model)
+    rng = np.random.RandomState(1)
+    qpos = rng.uniform(-0.8, 0.8, mj_model.nq)
+    if mj_model.nq == 7:
+        qpos[3:7] /= np.linalg.norm(qpos[3:7])
+    _set_state(mj_model, mj_data, qpos, np.zeros(mj_model.nv))
+    xpos, xquat, xmat, xipos, S, origin = kinematics.fk(model, jnp.asarray(qpos, jnp.float32))
+    np.testing.assert_allclose(np.asarray(xpos), mj_data.xpos, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xipos), mj_data.xipos, atol=1e-5)
+
+
+def test_pendulum_trajectory_matches_mujoco():
+    """Contact-free trajectory should track MuJoCo closely over 100 steps."""
+    mj_model, mj_data = _mj(PENDULUM_XML)
+    model, _ = load_model(mj_model)
+    qpos0 = np.array([0.3, -0.2])
+    _set_state(mj_model, mj_data, qpos0, np.zeros(2))
+
+    data = make_data(model, qpos0)
+    data = forward(model, data)
+    jit_step = jax.jit(lambda d: step(model, d))
+    for t in range(100):
+        mujoco.mj_step(mj_model, mj_data)
+        data = jit_step(data)
+    np.testing.assert_allclose(np.asarray(data.qpos), mj_data.qpos, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(data.qvel), mj_data.qvel, atol=2e-2)
+
+
+def test_free_body_ballistic_matches_mujoco():
+    """Free body in flight (no contact): exact ballistic + rotation match."""
+    mj_model, mj_data = _mj(FREEBODY_XML)
+    model, _ = load_model(mj_model)
+    qpos0 = np.array([0, 0, 1, 1, 0, 0, 0], dtype=np.float64)
+    qvel0 = np.array([0.5, -0.3, 2.0, 1.0, 2.0, -0.5])
+    _set_state(mj_model, mj_data, qpos0, qvel0)
+
+    data = make_data(model, qpos0)
+    data = data.replace(qvel=jnp.asarray(qvel0, jnp.float32))
+    data = forward(model, data)
+    jit_step = jax.jit(lambda d: step(model, d))
+    for t in range(50):
+        mujoco.mj_step(mj_model, mj_data)
+        data = jit_step(data)
+    np.testing.assert_allclose(np.asarray(data.qpos[:3]), mj_data.qpos[:3], atol=1e-3)
+    np.testing.assert_allclose(
+        np.abs(np.asarray(data.qpos[3:7])), np.abs(mj_data.qpos[3:7]), atol=2e-2
+    )
+
+
+POINT_XML = """
+<mujoco>
+  <option timestep="0.02"/>
+  <default><geom condim="3" density="1"/><joint damping=".001"/></default>
+  <worldbody>
+    <geom name="floor" size="5 5 0.1" type="plane" condim="3"/>
+    <body name="robot" pos="0 0 .1">
+      <joint type="slide" axis="1 0 0" name="robot_x" damping="0.01"/>
+      <joint type="slide" axis="0 1 0" name="robot_y" damping="0.01"/>
+      <joint type="hinge" axis="0 0 1" name="robot_z" damping="0.005"/>
+      <geom name="robot" type="sphere" size=".1" friction="1 0.01 0.01"/>
+      <geom name="pointarrow" pos="0.1 0 0" size="0.05 0.05 0.05" type="box"/>
+    </body>
+  </worldbody>
+  <actuator>
+    <general gear="0.3" joint="robot_x" name="x" ctrlrange="-1 1" ctrllimited="true" forcerange="-.05 .05" forcelimited="true"/>
+    <general gear="0.3" joint="robot_y" name="y" ctrlrange="-1 1" ctrllimited="true" forcerange="-.05 .05" forcelimited="true"/>
+    <general gear="0.3" joint="robot_z" name="z" ctrlrange="-1 1" ctrllimited="true" forcerange="-.05 .05" forcelimited="true"/>
+  </actuator>
+</mujoco>
+"""
+
+
+def test_point_robot_trajectory_matches_mujoco():
+    """The GUARD point robot (multi-joint body: slide+slide+hinge; reference
+    xmls/point.xml) driven with constant ctrl must track MuJoCo closely.
+    Exercises the sequential joint-frame resolution and the per-dof
+    velocity-product frames."""
+    mj_model, mj_data = _mj(POINT_XML)
+    model, _ = load_model(mj_model)
+    mj_data.ctrl[:] = [1.0, 0.2, 0.5]
+    for _ in range(205):
+        mujoco.mj_step(mj_model, mj_data)
+
+    data = make_data(model)
+    data = data.replace(ctrl=jnp.array([1.0, 0.2, 0.5]))
+    jit_step = jax.jit(lambda d: step(model, d))
+    for _ in range(205):
+        data = jit_step(data)
+    np.testing.assert_allclose(np.asarray(data.qpos), mj_data.qpos, atol=2e-2)
+
+
+def test_point_mass_bias_matches_mujoco():
+    mj_model, mj_data = _mj(POINT_XML)
+    model, _ = load_model(mj_model)
+    rng = np.random.RandomState(3)
+    for _ in range(5):
+        qpos = rng.uniform(-3, 3, 3)
+        qvel = rng.uniform(-3, 3, 3)
+        _set_state(mj_model, mj_data, qpos, qvel)
+        M_mj = np.zeros((3, 3))
+        mujoco.mj_fullM(mj_model, mj_data, M_mj)
+        xpos, xquat, xmat, xipos, S, origin = kinematics.fk(
+            model, jnp.asarray(qpos, jnp.float32)
+        )
+        M, bias = dynamics.mass_bias(
+            model, jnp.asarray(qvel, jnp.float32), xmat, xipos, xquat, S, origin
+        )
+        np.testing.assert_allclose(np.asarray(M), M_mj, rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(bias), mj_data.qfrc_bias, rtol=1e-3, atol=1e-5
+        )
+
+
+def test_sphere_rests_on_floor():
+    """Penalty contact: a dropped sphere settles near the floor surface."""
+    xml = """
+    <mujoco>
+      <option timestep="0.005" gravity="0 0 -9.81"/>
+      <worldbody>
+        <geom name="floor" type="plane" size="5 5 .1" condim="3"/>
+        <body name="ball" pos="0 0 0.5">
+          <freejoint name="ball"/>
+          <geom type="sphere" size="0.1" density="1000" friction="1 .01 .01"/>
+        </body>
+      </worldbody>
+    </mujoco>
+    """
+    mj_model = mujoco.MjModel.from_xml_string(xml)
+    model, _ = load_model(mj_model)
+    assert model.ncontact == 1
+    data = make_data(model, np.array([0, 0, 0.5, 1, 0, 0, 0], dtype=np.float32))
+    data = forward(model, data)
+    jit_step = jax.jit(lambda d: step(model, d))
+    for _ in range(400):
+        data = jit_step(data)
+    z = float(data.qpos[2])
+    vz = float(data.qvel[2])
+    assert 0.08 < z < 0.12, f"sphere should rest near z=0.1, got {z}"
+    assert abs(vz) < 0.05, f"sphere should be at rest, got vz={vz}"
