@@ -21,3 +21,21 @@ A from-scratch rebuild of the capabilities of intelligent-control-lab/guardX
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# persistent XLA compilation cache: TPU compiles of the jitted epoch are
+# expensive (tens of seconds); cache them across processes. Opt out with
+# GUARDX_NO_COMPILE_CACHE=1.
+if not _os.environ.get("GUARDX_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _cache = _os.environ.get(
+        "GUARDX_COMPILE_CACHE", _os.path.expanduser("~/.cache/guardx_jax")
+    )
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

@@ -1,0 +1,709 @@
+"""GUARD environment engine: batched, safety-constrained robot navigation.
+
+TPU-native rebuild of the reference Engine
+(reference: safe_rl_envs/safe_rl_envs/envs/engine.py:84-1070). The public
+config surface (DEFAULT keys, strict parse), observation layout, reward,
+cost, auto-reset and episode semantics match the reference; the execution
+model is redesigned for TPU:
+
+- The whole environment is a pure function over an ``EnvState`` pytree:
+  ``reset_single`` / ``step_single`` / ``reset_done_single`` are single-env
+  functions that the trainer vmaps over the env axis and folds into one
+  jitted ``lax.scan`` rollout — no host round-trips inside an epoch
+  (the reference crosses host<->device and JAX<->Torch every step,
+  engine.py:469-495).
+- Goal and hazards are *state fields*, not physics bodies. The reference
+  attaches every task geom to slide joints so MJX can reposition it via qpos
+  (world.py:316-323); on TPU that triples nv and cubes the mass-matrix solve
+  for zero physical effect (the geoms are contype=0). Layout positions live
+  in ``EnvState.goal_pos`` / ``EnvState.hazards_pos`` instead. The robot's
+  qpos/qvel layout is identical to the reference's first robot.nq/nv entries,
+  which is exactly what the reference observes (engine.py:760-764).
+- Layout rejection sampling runs per-env on device inside a bounded
+  ``lax.while_loop`` (the reference vmaps one million candidate layouts and
+  filters them on the host on every reset — engine.py:261-272,433-452).
+  The per-layout distribution conditional on acceptance is the same:
+  10 placement tries per object, last valid try wins, whole layout rejected
+  unless all objects placed and robot-goal distance >= 3
+  (engine.py:546-572).
+
+Quirks faithfully reproduced: qacc is computed but never enters the
+flattened observation (reference computes it then drops it because it is
+absent from obs_space_dict — engine.py:386-418,763-777); done on
+|Δdist| > 1 teleport filter with zeroed reward (engine.py:799-801); NaN/Inf
+observations force reward 0 / done 1 (engine.py:696-699); the step-count
+time limit uses the pre-increment counter (engine.py:492-493).
+"""
+
+from __future__ import annotations
+
+import os
+from copy import deepcopy
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from guardx_tpu import physics
+from guardx_tpu.envs import obs as obs_mod
+from guardx_tpu.envs.world import World, Robot, BASE_DIR
+from guardx_tpu.utils.spaces import Box
+
+COLOR_GOAL = np.array([0, 1, 0, 1])
+COLOR_HAZARD = np.array([0, 0, 1, 1])
+GROUP_GOAL = 0
+GROUP_HAZARD = 3
+
+
+@struct.dataclass
+class LayoutPool:
+    """Pre-sampled valid-first-sorted layout pool (device arrays).
+
+    The TPU-native equivalent of the reference's 1e6-candidate layout pool
+    (engine.py:261-272,433-452): candidates are vmap-sampled on device, then
+    stable-sorted so the ``n_valid`` valid layouts form a prefix — picking a
+    random layout is a single gather with static shapes, no host filtering.
+    """
+
+    placed: jnp.ndarray  # (M, n_obj, 2) in sampling order (goal, hazards, robot)
+    n_valid: jnp.ndarray  # () int32
+
+
+@struct.dataclass
+class EnvState:
+    """Complete per-environment state (one env; vmap over the leading axis)."""
+
+    data: physics.Data  # robot physics state
+    goal_pos: jnp.ndarray  # (2,)
+    hazards_pos: jnp.ndarray  # (H, 2) — H=1 dummy row if hazards_num == 0
+    robot_pos_last: jnp.ndarray  # (3,) body origin, previous step
+    robot_pos_last_last: jnp.ndarray  # (3,)
+    last_done: jnp.ndarray  # ()
+    last_last_done: jnp.ndarray  # ()
+    steps: jnp.ndarray  # () int32 step counter (time limit)
+    rng: jnp.ndarray  # per-env PRNG key
+
+
+class Engine:
+    """Config-driven GUARD environment (reference engine.py:84).
+
+    Exposes BOTH:
+    - a functional API (``reset_single``/``step_single``/``reset_done_single``
+      + ``init_state``) for fully-jitted training loops, and
+    - the reference's stateful gym-flavored API (``reset``/``step``/
+      ``reset_done``) operating on an internal batched EnvState, returning
+      jax arrays (the framework is single-runtime JAX: no torch interop).
+    """
+
+    # Reference DEFAULT config surface (engine.py:98-204). Keys that only
+    # steer the reference's renderer/mjx internals are accepted and stored
+    # for compatibility. guardx-specific extensions are prefixed 'gx_'.
+    DEFAULT = {
+        'num_steps': 1000,
+        'device_id': 0,
+        'env_num': 1,
+
+        'placements_extents': [-2, -2, 2, 2],
+        'placements_margin': 0.0,
+
+        'floor_display_mode': False,
+
+        'robot_placements': None,
+        'robot_locations': [],
+        'robot_keepout': 0.4,
+        'robot_base': 'xmls/point.xml',
+        'robot_rot': None,
+
+        'observation_flatten': True,
+        'observe_goal_lidar': True,
+        'observe_goal_comp': True,
+        'observe_hazards': True,
+        'observe_qpos': True,
+        'observe_qvel': True,
+        'observe_qacc': True,
+        'observe_vel': False,
+        'observe_acc': False,
+        'observe_ctrl': True,
+        'observe_vision': False,
+
+        'render_labels': False,
+        'render_lidar_markers': True,
+        'render_lidar_radius': 0.15,
+        'render_lidar_size': 0.025,
+        'render_lidar_offset_init': 0.5,
+        'render_lidar_offset_delta': 0.06,
+
+        'sensors_obs': ['accelerometer', 'velocimeter', 'gyro', 'magnetometer'],
+        'sensors_hinge_joints': True,
+        'sensors_ball_joints': True,
+        'sensors_angle_components': True,
+
+        'lidar_num_bins': 16,
+        'lidar_num_bins3D': 1,
+        'lidar_max_dist': None,
+        'lidar_exp_gain': 1.0,
+        'lidar_type': 'pseudo',
+        'lidar_alias': True,
+        'lidar_body': ['robot'],
+
+        'task': 'goal',
+        'push_object': 'box',
+        'goal_mode': 'random',
+        'goal_travel': 3.0,
+        'goal_velocity': 0.5,
+
+        'goal_placements': None,
+        'goal_locations': [],
+        'goal_keepout': 0.5,
+        'goal_size': 0.5,
+        'goal_3D': False,
+        'goal_z_range': [1.0, 1.0],
+
+        'reward_distance': 1.0,
+        'reward_goal': 1.0,
+        'reward_box_dist': 1.0,
+        'reward_box_goal': 1.0,
+        'reward_orientation': False,
+        'reward_orientation_scale': 0.002,
+        'reward_orientation_body': 'robot',
+        'reward_exception': -10.0,
+        'reward_x': 1.0,
+        'reward_z': 1.0,
+        'reward_circle': 1e-1,
+        'reward_clip': 10,
+        'reward_defense': 1.0,
+        'reward_chase': 1.0,
+
+        'constrain_hazards': False,
+        'constrain_indicator': True,
+
+        'hazards_num': 8,
+        'hazards_placements': None,
+        'hazards_locations': [],
+        'hazards_keepout': 0.4,
+        'hazards_size': 0.3,
+        'hazards_cost': 1.0,
+
+        'physics_steps_per_control_step': 1,
+        '_seed': 0,
+
+        # --- guardx_tpu extensions ---
+        'gx_substeps': None,  # physics substeps / control step (None: robot default)
+        'gx_layout_max_retries': 1000,  # bounded rejection loop (sample_layout)
+        'gx_layout_pool': None,  # layout pool size (None: auto from env_num)
+    }
+
+    # stable integrator substeps per robot base (model.timestep is the
+    # CONTROL dt from the robot XML; stiff robots need internal substeps
+    # under the penalty contact model — ant's dt=0.09 most of all)
+    ROBOT_SUBSTEPS = {
+        'point.xml': 1,
+        'swimmer.xml': 2,
+        'ant.xml': 12,
+        'walker.xml': 4,
+        'doggo.xml': 2,
+    }
+
+    def __init__(self, config={}):
+        self.parse(config)
+        self.rs = np.random.RandomState(self._seed)
+
+        self.robot = Robot(self.robot_base)
+        base = os.path.basename(self.robot_base)
+        substeps = self.gx_substeps or self.ROBOT_SUBSTEPS.get(base, 4)
+
+        # build the scene (robot only — task geoms are EnvState fields)
+        robot_rot = 0.0 if self.robot_rot is None else float(self.robot_rot)
+        self.world = World(self.robot_base, geoms={}, robot_rot=robot_rot)
+        self.mj_model = self.world.build()
+        self.model, self.meta = physics.load_model(self.mj_model, substeps=substeps)
+        self.dt = self.model.timestep * self.physics_steps_per_control_step
+
+        self.body_robot = self.meta['body_name2id']['robot']
+        self.is_point = 'point' in self.robot_base
+
+        self.build_placements_dict()
+        self.build_observation_space()
+        self.build_action_space()
+
+        self._key = jax.random.PRNGKey(self._seed)
+        self._state = None
+        self._obs = None
+        self._done = None
+        self._info = None
+        self.viewer = None
+        self.renderer = None
+
+        # layout pool sizing: large enough that the valid prefix (~1.5%
+        # acceptance) comfortably exceeds env_num, bounded for memory
+        if self.gx_layout_pool is None:
+            self._pool_size = int(min(2 ** 19, max(2 ** 14, self.env_num * 128)))
+        else:
+            self._pool_size = int(self.gx_layout_pool)
+        self._pool = None
+
+        # batched jitted entry points (reference engine.py:269-272); the
+        # layout pool is shared across the env batch (in_axes=None)
+        self._make_pool = jax.jit(self.make_layout_pool)
+        self._reset = jax.jit(jax.vmap(self.reset_single, in_axes=(0, None)))
+        self._step = jax.jit(jax.vmap(self.step_single))
+        self._reset_done = jax.jit(
+            jax.vmap(self.reset_done_single, in_axes=(0, 0, 0, None))
+        )
+
+    # ------------------------------------------------------------------
+    # configuration
+    # ------------------------------------------------------------------
+
+    def parse(self, config):
+        """Strict config parse (reference engine.py:322-328)."""
+        self.config = deepcopy(self.DEFAULT)
+        self.config.update(deepcopy(config))
+        for key, value in self.config.items():
+            assert key in self.DEFAULT, f'Bad key {key}'
+            setattr(self, key, value)
+
+    def build_placements_dict(self):
+        """Object name -> (placement rect, keepout), in the reference's
+        insertion order: goal, hazards, robot (engine.py:533-544)."""
+        placements = {}
+        if self.task in ['goal']:
+            placements['goal'] = (self.goal_placements, self.goal_keepout)
+        for i in range(self.hazards_num):
+            placements[f'hazard{i}'] = (self.hazards_placements, self.hazards_keepout)
+        placements['robot'] = (self.robot_placements, self.robot_keepout)
+        self.placements = placements
+        # static per-object keepouts in sampling order
+        self._sample_order = list(placements.keys())
+        self._keepouts = np.array(
+            [placements[k][1] for k in self._sample_order], dtype=np.float32
+        )
+
+    def build_observation_space(self):
+        """Reference engine.py:386-418 — note qacc is intentionally absent."""
+        d = {}
+        if self.observe_goal_lidar:
+            d['goal_lidar'] = Box(0.0, 1.0, (self.lidar_num_bins,))
+        if self.observe_goal_comp:
+            d['goal_compass'] = Box(-np.inf, np.inf, (2,))
+        if self.observe_hazards:
+            d['hazards_lidar'] = Box(0.0, 1.0, (self.lidar_num_bins,))
+        if self.observe_qpos:
+            d['qpos'] = Box(-np.inf, np.inf, (self.robot.nq,))
+        if self.observe_qvel:
+            d['qvel'] = Box(-np.inf, np.inf, (self.robot.nv,))
+        if self.observe_ctrl:
+            d['ctrl'] = Box(-np.inf, np.inf, (self.robot.nu,))
+        if self.observe_vel:
+            d['vel'] = Box(-np.inf, np.inf, (2,))
+        if self.observe_acc:
+            d['acc'] = Box(-np.inf, np.inf, (2,))
+        self.obs_space_dict = d
+        self.obs_flat_size = int(sum(np.prod(v.shape) for v in d.values()))
+        self.observation_space = Box(-np.inf, np.inf, (self.obs_flat_size,))
+
+    def build_action_space(self):
+        """ctrlrange-derived action space; the point robot exposes only two
+        dims (x thrust + turn), mapped onto three actuators
+        (reference engine.py:291-297,672-687)."""
+        ctrl_range = np.asarray(self.mj_model.actuator_ctrlrange, dtype=np.float32).copy()
+        limited = np.asarray(self.mj_model.actuator_ctrllimited, dtype=bool)
+        ctrl_range[~limited] = np.array([-np.inf, np.inf], dtype=np.float32)
+        if self.is_point:
+            ctrl_range = ctrl_range[:2]
+        self.action_space = Box(ctrl_range[:, 0], ctrl_range[:, 1])
+
+    # ------------------------------------------------------------------
+    # layout sampling (device, per env)
+    # ------------------------------------------------------------------
+
+    def _constrained_rect(self, placement, keepout):
+        xmin, ymin, xmax, ymax = (
+            placement if placement is not None else self.placements_extents
+        )
+        return (xmin + keepout, ymin + keepout, xmax - keepout, ymax - keepout)
+
+    N_PLACE_TRIES = 10  # placement tries per object (reference engine.py:562)
+
+    def _layout_static(self):
+        """Per-object static arrays in sampling order: constrained rects and
+        keepouts (cached)."""
+        if not hasattr(self, '_layout_rects'):
+            rects, keepouts = [], []
+            for name in self._sample_order:
+                placement, keepout = self.placements[name]
+                rects.append(self._constrained_rect(placement, keepout))
+                keepouts.append(keepout)
+            self._layout_rects = jnp.asarray(rects, dtype=jnp.float32)  # (n,4)
+            self._layout_keepouts = jnp.asarray(keepouts, dtype=jnp.float32)
+        return self._layout_rects, self._layout_keepouts
+
+    def sample_layout_once(self, rng):
+        """One whole-layout attempt (reference sample_layout, engine.py:546-572).
+
+        Vectorized: all 10 tries per object are drawn at once; objects are
+        placed by a lax.scan carrying the placed-so-far table (keeps the
+        compiled program small — an unrolled 10x10 loop nest blows up TPU
+        compile time). Semantics match the reference: the LAST valid try
+        wins; the layout fails if any object found no valid try.
+
+        Returns (positions (n_obj, 2) in sampling order, success flag, rng).
+        """
+        rects, keepouts = self._layout_static()
+        n = len(self._sample_order)
+        T = self.N_PLACE_TRIES
+        rng, sub = jax.random.split(rng)
+        u = jax.random.uniform(sub, (n, T, 2))  # all tries, unit square
+        lo = rects[:, None, 0:2]
+        hi = rects[:, None, 2:4]
+        tries = lo + u * (hi - lo)  # (n, T, 2)
+        margin = self.placements_margin
+
+        def place(carry, xs):
+            placed, success, i = carry
+            obj_tries, keepout = xs  # (T, 2), ()
+            # (T, n) distances to already-placed objects (-inf rows inert)
+            d = jnp.linalg.norm(
+                placed[None, :, :] - obj_tries[:, None, :], axis=-1
+            )
+            d = jnp.where(jnp.isfinite(d), d, jnp.inf)
+            thresh = keepouts + margin + keepout  # (n,)
+            valid = jnp.all(d >= thresh[None, :], axis=-1)  # (T,)
+            any_valid = jnp.any(valid)
+            # last valid try wins (reference overwrites xy on each valid try)
+            idx_rev = jnp.argmax(valid[::-1])
+            idx = T - 1 - idx_rev
+            xy = jnp.where(any_valid, obj_tries[idx], -jnp.inf)
+            placed = jax.lax.dynamic_update_slice(placed, xy[None, :], (i, 0))
+            success = jnp.where(any_valid, success, 0.0)
+            return (placed, success, i + 1), None
+
+        placed0 = jnp.full((n, 2), -jnp.inf, dtype=jnp.float32)
+        (placed, success, _), _ = jax.lax.scan(
+            place, (placed0, jnp.float32(1.0), jnp.int32(0)),
+            (tries, keepouts),
+        )
+        # robot-goal separation >= 3 (engine.py:570-571)
+        if 'goal' in self.placements:
+            dist_rg = jnp.linalg.norm(placed[0] - placed[-1])
+            success = jnp.where(dist_rg < 3.0, 0.0, success)
+        return placed, success, rng
+
+    def _split_placed(self, placed):
+        """(n_obj, 2) sampling-order table -> layout dict."""
+        n_haz = self.hazards_num
+        goal = placed[0] if 'goal' in self.placements else jnp.zeros(2)
+        haz0 = 1 if 'goal' in self.placements else 0
+        hazards = (
+            placed[haz0:haz0 + n_haz]
+            if n_haz else jnp.zeros((1, 2), dtype=jnp.float32)
+        )
+        robot = placed[-1]
+        return {'robot': robot, 'goal': goal, 'hazards': hazards}
+
+    def make_layout_pool(self, rng) -> LayoutPool:
+        """Sample the candidate pool on device and sort valid layouts to the
+        front (the reference's reset_layout, engine.py:433-444, without the
+        host round-trip: ~1.5% of candidates pass the keepout + robot-goal
+        separation filters, same acceptance rate as the reference's)."""
+        keys = jax.random.split(rng, self._pool_size)
+        placed, success, _ = jax.vmap(self.sample_layout_once)(keys)
+        order = jnp.argsort(-success, stable=True)  # valid-first, stable
+        return LayoutPool(
+            placed=placed[order],
+            n_valid=jnp.sum(success).astype(jnp.int32),
+        )
+
+    def pick_layout(self, pool: LayoutPool, rng):
+        """Uniformly pick one valid layout (reference get_layout,
+        engine.py:446-452)."""
+        hi = jnp.maximum(pool.n_valid, 1)
+        idx = jax.random.randint(rng, (), minval=0, maxval=hi)
+        return self._split_placed(pool.placed[idx])
+
+    def sample_layout(self, rng):
+        """Standalone rejection sampler (bounded retries). Used for tests and
+        one-off sampling; the hot paths go through the pool."""
+
+        def cond(carry):
+            _, success, _, it = carry
+            return jnp.logical_and(success < 0.5, it < self.gx_layout_max_retries)
+
+        def body(carry):
+            _, _, rng, it = carry
+            placed, success, rng = self.sample_layout_once(rng)
+            return placed, success, rng, it + 1
+
+        placed, success, rng = self.sample_layout_once(rng)
+        placed, success, rng, _ = jax.lax.while_loop(
+            cond, body, (placed, success, rng, jnp.int32(1))
+        )
+        return self._split_placed(placed)
+
+    def _robot_qpos(self, layout_robot_xy):
+        """Robot portion of qpos for a layout (reference layout2qpos,
+        engine.py:623-639): xy into the base slide joints, or xyz+unit
+        quaternion for free-joint robots."""
+        qpos = jnp.zeros(self.model.nq, dtype=jnp.float32)
+        j2q = self.meta['jnt_name2qposadr']
+        if 'robot' in j2q:  # free joint
+            adr = j2q['robot']
+            qpos = qpos.at[adr + 0].set(layout_robot_xy[0])
+            qpos = qpos.at[adr + 1].set(layout_robot_xy[1])
+            qpos = qpos.at[adr + 2].set(self.robot.z_height)
+            qpos = qpos.at[adr + 3].set(1.0)
+        else:
+            qpos = qpos.at[j2q['robot_x']].set(layout_robot_xy[0])
+            qpos = qpos.at[j2q['robot_y']].set(layout_robot_xy[1])
+        return qpos
+
+    # ------------------------------------------------------------------
+    # functional single-env API (vmap/jit/scan these)
+    # ------------------------------------------------------------------
+
+    def reset_single(self, rng, pool: LayoutPool) -> tuple:
+        """Fresh environment: pick a layout, place robot, settle forward.
+        Mirrors mjx_reset (reference engine.py:644-657)."""
+        rng, sub = jax.random.split(rng)
+        layout = self.pick_layout(pool, sub)
+        qpos = self._robot_qpos(layout['robot'])
+        data = physics.make_data(self.model)
+        data = data.replace(
+            qpos=qpos,
+            qvel=jnp.zeros(self.model.nv, dtype=jnp.float32),
+            ctrl=jnp.zeros(self.model.nu, dtype=jnp.float32),
+        )
+        data = physics.forward(self.model, data)
+        state = EnvState(
+            data=data,
+            goal_pos=layout['goal'],
+            hazards_pos=layout['hazards'],
+            robot_pos_last=data.xpos[self.body_robot],
+            robot_pos_last_last=data.xpos[self.body_robot],
+            last_done=jnp.float32(0.0),
+            last_last_done=jnp.float32(0.0),
+            steps=jnp.int32(0),
+            rng=rng,
+        )
+        flat_obs, _ = self.obs(state, data)
+        return flat_obs, state
+
+    def convert_action(self, data, action):
+        """Point robot: rotate body-frame thrust into world slide forces
+        (reference engine.py:672-687)."""
+        if not self.is_point:
+            return action
+        robot_mat = data.xmat[self.body_robot]
+        world = robot_mat @ jnp.array([action[0], 0.0, 0.0])
+        return jnp.stack([world[0], world[1], action[1]])
+
+    def step_single(self, state: EnvState, action):
+        """One control step. Mirrors mjx_step (reference engine.py:659-700)
+        plus the host-side time limit (engine.py:492-493), all on device."""
+        ctrl = self.convert_action(state.data, action)
+        data = state.data.replace(ctrl=ctrl)
+
+        def f(d, _):
+            return physics.step(self.model, d), None
+
+        data, _ = jax.lax.scan(f, data, (), self.physics_steps_per_control_step)
+
+        # rotate history (reference update_data, engine.py:426-431)
+        hist = dict(
+            robot_pos_last=state.data.xpos[self.body_robot],
+            robot_pos_last_last=state.robot_pos_last,
+            last_done=state.last_done,
+            last_last_done=state.last_last_done,
+        )
+        mid = state.replace(data=data, **hist)
+
+        flat_obs, obs_dict = self.obs(mid, data)
+        reward, done = self.reward_done(mid, data)
+        cost = self.cost(mid, data)
+
+        # NaN/Inf guards (reference engine.py:696-699)
+        bad = jnp.logical_or(
+            jnp.isnan(flat_obs).any(), jnp.isinf(flat_obs).any()
+        )
+        reward = jnp.where(bad, 0.0, reward)
+        done = jnp.where(bad, 1.0, done)
+
+        # time limit on the pre-increment counter (reference engine.py:492-493)
+        done = jnp.where(mid.steps > self.num_steps, 1.0, done)
+        steps = jnp.where(done > 0.0, 0, mid.steps + 1)
+
+        rng, _ = jax.random.split(mid.rng)
+        new_state = mid.replace(steps=steps, rng=rng)
+        info = {'cost': cost, 'goal_met': (self.goal_dist(mid, data) < self.goal_size).astype(jnp.float32)}
+        return flat_obs, reward, done, info, new_state
+
+    def reset_done_single(self, state: EnvState, done, flat_obs, pool: LayoutPool):
+        """Partial auto-reset: fresh layout + qpos merge where done, one
+        settling step, obs merge (reference mjx_reset_done,
+        engine.py:702-731)."""
+        rng, sub = jax.random.split(state.rng)
+        layout = self.pick_layout(pool, sub)
+        qpos_reset = self._robot_qpos(layout['robot'])
+        data = state.data
+        qpos = jnp.where(done > 0.0, qpos_reset, data.qpos)
+        qvel = jnp.where(done > 0.0, jnp.zeros_like(data.qvel), data.qvel)
+        ctrl = jnp.where(done > 0.0, jnp.zeros_like(data.ctrl), data.ctrl)
+        data = data.replace(qpos=qpos, qvel=qvel, ctrl=ctrl)
+
+        def f(d, _):
+            return physics.step(self.model, d), None
+
+        data, _ = jax.lax.scan(f, data, (), self.physics_steps_per_control_step)
+
+        goal_pos = jnp.where(done > 0.0, layout['goal'], state.goal_pos)
+        hazards_pos = jnp.where(done > 0.0, layout['hazards'], state.hazards_pos)
+        fresh = state.replace(
+            data=data, goal_pos=goal_pos, hazards_pos=hazards_pos, rng=rng,
+        )
+        obs_reset, _ = self.obs(fresh, data)
+        flat_obs = jnp.where(done > 0.0, obs_reset, flat_obs)
+        # history for reset envs points at the new pose
+        robot_pos = data.xpos[self.body_robot]
+        new_state = fresh.replace(
+            robot_pos_last=jnp.where(done > 0.0, robot_pos, state.robot_pos_last),
+            robot_pos_last_last=jnp.where(
+                done > 0.0, robot_pos, state.robot_pos_last_last
+            ),
+            steps=jnp.where(done > 0.0, 0, state.steps),
+        )
+        return flat_obs, new_state
+
+    # ------------------------------------------------------------------
+    # observation / reward / cost (single env)
+    # ------------------------------------------------------------------
+
+    def obs(self, state: EnvState, data):
+        """Flattened observation, sorted-key order (reference engine.py:738-778)."""
+        robot_pos = data.xpos[self.body_robot]
+        robot_mat = data.xmat[self.body_robot]
+        d = {}
+        if self.observe_goal_lidar:
+            d['goal_lidar'] = obs_mod.obs_lidar_pseudo(
+                state.goal_pos[None, :], robot_pos, robot_mat,
+                self.lidar_num_bins, self.lidar_exp_gain,
+                self.lidar_max_dist, self.lidar_alias,
+            )
+        if self.observe_hazards:
+            d['hazards_lidar'] = obs_mod.obs_lidar_pseudo(
+                state.hazards_pos, robot_pos, robot_mat,
+                self.lidar_num_bins, self.lidar_exp_gain,
+                self.lidar_max_dist, self.lidar_alias,
+            )
+        if self.observe_goal_comp:
+            d['goal_compass'] = obs_mod.obs_compass(
+                state.goal_pos, robot_pos, robot_mat
+            )
+        if self.observe_qpos:
+            d['qpos'] = data.qpos[: self.robot.nq]
+        if self.observe_qvel:
+            d['qvel'] = data.qvel[: self.robot.nv]
+        if self.observe_ctrl:
+            d['ctrl'] = data.ctrl[: self.robot.nu]
+        if self.observe_vel or self.observe_acc:
+            vel, acc = obs_mod.ego_vel_acc(
+                robot_pos, state.robot_pos_last, state.robot_pos_last_last,
+                state.last_done, state.last_last_done, robot_mat, self.dt,
+            )
+            if self.observe_vel:
+                d['vel'] = vel
+            if self.observe_acc:
+                d['acc'] = acc
+        flat = jnp.concatenate(
+            [d[k].flatten() for k in sorted(self.obs_space_dict.keys())]
+        )
+        return flat, d
+
+    def goal_dist(self, state: EnvState, data):
+        """Planar robot-goal distance (reference goal_pos, engine.py:780-785)."""
+        robot_xy = data.xpos[self.body_robot][:2]
+        return jnp.linalg.norm(state.goal_pos - robot_xy)
+
+    def reward_done(self, state: EnvState, data):
+        """Dense Δ(dist-to-goal) reward, goal-reach done, teleport filter
+        (reference reward_done, engine.py:787-802)."""
+        dist_goal = self.goal_dist(state, data)
+        last_robot_xy = state.robot_pos_last[:2]
+        last_dist_goal = jnp.linalg.norm(state.goal_pos - last_robot_xy)
+        last_dist_goal = jnp.where(
+            state.last_done > 0.0, dist_goal, last_dist_goal
+        )
+        d_dist = last_dist_goal - dist_goal
+        reward = d_dist * self.reward_distance
+        done = jnp.where(dist_goal < self.goal_size, 1.0, 0.0)
+        done = jnp.where(jnp.abs(d_dist) > 1.0, 1.0, done)
+        reward = jnp.where(jnp.abs(d_dist) > 1.0, 0.0, reward)
+        return reward, done
+
+    def cost(self, state: EnvState, data):
+        """Dense hinge cost: sum over hazards of max(0, size - dist)
+        (reference cost, engine.py:804-811 — always dense; the
+        constrain_indicator flag is ignored there too)."""
+        robot_xy = data.xpos[self.body_robot][:2]
+        d = jnp.linalg.norm(state.hazards_pos - robot_xy[None, :], axis=-1)
+        below = jnp.minimum(d, self.hazards_size)
+        c = jnp.sum(self.hazards_size - below)
+        if not self.hazards_num:
+            c = jnp.float32(0.0)
+        return c
+
+    # ------------------------------------------------------------------
+    # stateful batched API (reference gym-flavored surface)
+    # ------------------------------------------------------------------
+
+    def reset(self):
+        """Batched reset of every env: regenerate the layout pool, then
+        reset all envs from it (reference engine.py:454-467)."""
+        self._key, pk, sub = jax.random.split(self._key, 3)
+        self._pool = self._make_pool(pk)
+        n_valid = int(self._pool.n_valid)
+        assert n_valid > 0, (
+            f"layout pool of {self._pool_size} produced no valid layout"
+        )
+        keys = jax.random.split(sub, self.env_num)
+        flat_obs, state = self._reset(keys, self._pool)
+        self._state = state
+        self._obs = flat_obs
+        self._done = jnp.zeros(self.env_num, dtype=jnp.float32)
+        return flat_obs
+
+    def step(self, action):
+        """Batched step (reference engine.py:469-495). action: (B, act_dim)."""
+        flat_obs, reward, done, info, state = self._step(self._state, action)
+        self._state = state
+        self._obs = flat_obs
+        self._done = done
+        self._info = info
+        return flat_obs, reward, done, info
+
+    def reset_done(self):
+        """Partial auto-reset of done envs (reference engine.py:497-505)."""
+        flat_obs, state = self._reset_done(
+            self._state, self._done, self._obs, self._pool
+        )
+        self._state = state
+        self._obs = flat_obs
+        return flat_obs
+
+    # ------------------------------------------------------------------
+    # rendering (host-side, via mujoco's renderer)
+    # ------------------------------------------------------------------
+
+    def render(self, env_idx: int = 0, width: int = 640, height: int = 480):
+        """Offscreen render of one env (reference engine.py:1036-1070 uses a
+        passive viewer + Renderer; here headless Renderer only)."""
+        import mujoco
+
+        if self.renderer is None:
+            self.renderer = mujoco.Renderer(self.mj_model, width=width, height=height)
+        mj_data = mujoco.MjData(self.mj_model)
+        qpos = np.asarray(self._state.data.qpos[env_idx])
+        mj_data.qpos[:] = qpos
+        mujoco.mj_forward(self.mj_model, mj_data)
+        self.renderer.update_scene(mj_data)
+        return self.renderer.render()
