@@ -1,0 +1,199 @@
+"""Shared algorithm machinery: networks bundle, policy-loss closures,
+critic fitting, and the AlgoState pytree.
+
+Each algorithm in guardx_tpu.algos.algorithms is a small module over these
+helpers + the trust-region core — replacing the reference's ~19 copies of a
+700-line trainer (SURVEY.md §2.2) with one runner and per-algo update rules.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from guardx_tpu.algos import core
+from guardx_tpu.algos import trust_region as tr
+
+EPS = 1e-8
+
+
+@struct.dataclass
+class AlgoState:
+    """Learnable state shared by all algorithms (+ algo-specific extras)."""
+
+    pi: Any
+    v: Any
+    vc: Any
+    v_opt: Any
+    vc_opt: Any
+    extra: Any  # dict pytree: lagrange multipliers, extra nets, their opts
+
+
+class Networks:
+    """Static bundle of network modules + apply fns (not a pytree)."""
+
+    def __init__(self, obs_dim: int, act_dim: int, hidden_sizes=(64, 64),
+                 vc_softplus: bool = False):
+        self.obs_dim, self.act_dim = obs_dim, act_dim
+        self.actor = core.GaussianActor(act_dim=act_dim, hidden_sizes=hidden_sizes)
+        self.critic = core.Critic(hidden_sizes=hidden_sizes)
+        # SCPO's max-cost critic has a softplus head (scpo_core.py:158-165)
+        self.vc_critic = core.Critic(
+            hidden_sizes=hidden_sizes, softplus_head=vc_softplus
+        )
+        self.pi_apply = self.actor.apply
+        self.v_apply = self.critic.apply
+        self.vc_apply = self.vc_critic.apply
+
+    def init(self, rng):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        dummy = jnp.zeros((1, self.obs_dim), jnp.float32)
+        pi = self.actor.init(k1, dummy)
+        v = self.critic.init(k2, dummy)
+        vc = self.vc_critic.init(k3, dummy)
+        return pi, v, vc
+
+
+def wmean(x, w):
+    """Weighted mean (w=1 everywhere reduces to the reference's .mean())."""
+    return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def weighted_gaussian_kl(mu0, log_std0, mu1, log_std1, w):
+    """Mean diagonal-gaussian KL with sample weights (cpo_core.py:12-22)."""
+    var0, var1 = jnp.exp(2 * log_std0), jnp.exp(2 * log_std1)
+    pre = 0.5 * (((mu1 - mu0) ** 2 + var0) / (var1 + EPS) - 1) + log_std1 - log_std0
+    return wmean(jnp.sum(pre, axis=-1), w)
+
+
+def make_pi_closures(nets: Networks, data: dict):
+    """Flat-theta closures over the rollout data for the TR machinery:
+
+    Returns (theta -> loss_pi, theta -> surr_cost, theta -> kl, unravel)
+    matching the reference's compute_loss_pi / compute_cost_pi /
+    compute_kl_pi (cpo.py:362-405).
+    """
+    obs, act, adv, adc = data['obs'], data['act'], data['adv'], data['adc']
+    logp_old, mu_old, logstd_old = data['logp'], data['mu'], data['logstd']
+    w = data['valid']
+
+    def loss_pi(params):
+        mu, log_std = nets.pi_apply(params, obs)
+        logp = core.gaussian_logp(mu, log_std, act)
+        ratio = jnp.exp(logp - logp_old)
+        return -wmean(ratio * adv, w)
+
+    def surr_cost(params):
+        mu, log_std = nets.pi_apply(params, obs)
+        logp = core.gaussian_logp(mu, log_std, act)
+        ratio = jnp.exp(logp - logp_old)
+        return wmean(ratio * adc, w)
+
+    def kl(params):
+        mu, log_std = nets.pi_apply(params, obs)
+        return weighted_gaussian_kl(mu_old, logstd_old, mu, log_std, w)
+
+    return loss_pi, surr_cost, kl
+
+
+def pi_diagnostics(nets: Networks, params, data):
+    """approx_kl and entropy at current params (cpo.py:400-403)."""
+    obs, act = data['obs'], data['act']
+    w = data['valid']
+    mu, log_std = nets.pi_apply(params, obs)
+    logp = core.gaussian_logp(mu, log_std, act)
+    approx_kl = wmean(data['logp'] - logp, w)
+    ent = wmean(core.gaussian_entropy(log_std), w)
+    return approx_kl, ent
+
+
+def fit_critic(apply_fn, params, opt: optax.GradientTransformation, opt_state,
+               obs, target, iters: int, w):
+    """`iters` full-batch Adam steps on the MSE (cpo.py:563-576)."""
+
+    def loss_fn(p):
+        return wmean((apply_fn(p, obs) - target) ** 2, w)
+
+    def body(_, carry):
+        p, s = carry
+        grads = jax.grad(loss_fn)(p)
+        updates, s = opt.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        return (p, s)
+
+    params, opt_state = jax.lax.fori_loop(0, iters, body, (params, opt_state))
+    return params, opt_state, loss_fn(params)
+
+
+def constraint_violation(aux: dict, target_cost: float, rescale: bool = True):
+    """c = (EpCost - target_cost) / EpLen (cpo.py:449-456).
+
+    SCPO uses the un-rescaled variant (scpo.py:485-498)."""
+    c = aux['ep_cost'] - target_cost
+    if rescale:
+        c = c / (aux['ep_len'] + EPS)
+    return c
+
+
+class Algorithm:
+    """Base: algorithms override update(); defaults cover the common
+    v/vc critic fitting, hyperparameters, and no-op rollout hooks."""
+
+    name = "base"
+    one_episode = False
+    # which data fields the update consumes beyond the common set
+    needs_cost_critic = True
+    augments_obs = False  # SCPO appends the running max-cost M
+    vc_softplus = False   # SCPO's max-cost critic head
+
+    def __init__(self, **hp):
+        self.hp = dict(
+            gamma=0.99, lam=0.97,
+            vf_lr=1e-3, vcf_lr=1e-3, train_v_iters=80, train_vc_iters=80,
+            target_kl=0.01, target_cost=0.0,
+            backtrack_coeff=0.8, backtrack_iters=100, cost_reduction=0.0,
+        )
+        self.hp.update(hp)
+
+    def init_extra(self, rng, nets: Networks):
+        return {}
+
+    def init_pi_opt(self, pi_params):
+        """Extra entries merged into `extra` for Adam-based policies."""
+        return {}
+
+    # ---- rollout hooks (no-ops by default) -------------------------------
+    def rollout_carry_init(self, B: int):
+        return {}
+
+    def obs_for_policy(self, obs, carry):
+        return obs
+
+    def correct_action(self, nets, s, obs, a, carry, epoch_frac, rng):
+        return a, {}
+
+    def process_cost(self, cost, carry, done):
+        return cost, carry, {}
+
+    def fit_critics(self, nets, s: AlgoState, data, v_opt, vc_opt):
+        v, v_opt_state, loss_v = fit_critic(
+            nets.v_apply, s.v, v_opt, s.v_opt, data['obs'], data['ret'],
+            int(self.hp['train_v_iters']), data['valid'],
+        )
+        if self.needs_cost_critic:
+            vc, vc_opt_state, loss_vc = fit_critic(
+                nets.vc_apply, s.vc, vc_opt, s.vc_opt, data['obs'], data['cret'],
+                int(self.hp['train_vc_iters']), data['valid'],
+            )
+        else:
+            vc, vc_opt_state, loss_vc = s.vc, s.vc_opt, jnp.float32(0.0)
+        return s.replace(v=v, v_opt=v_opt_state, vc=vc, vc_opt=vc_opt_state), \
+            dict(LossV=loss_v, LossVC=loss_vc)
+
+    def update(self, nets: Networks, s: AlgoState, data: dict, aux: dict,
+               opts: dict):
+        raise NotImplementedError

@@ -1,0 +1,313 @@
+"""Training runner: the whole epoch — rollout, GAE, policy/critic updates,
+epoch metrics, full env reset — is ONE jitted XLA program.
+
+The reference drives every step from the host, crossing JAX<->Torch and
+device<->host boundaries per step and computing GAE on CPU
+(SURVEY.md §3.3); here the epoch executes on device end-to-end and the host
+only reads back a small metrics dict per epoch.
+
+Episode accounting matches the reference trainer loop (cpo.py:596-674):
+- per-step ep_ret/ep_cost/ep_cost_ret/ep_len accumulation including this
+  step's reward; at done the episode is logged and accumulators reset
+- at epoch end (timeout), only envs whose ep_len == max_ep_len are logged
+  as episodes; MaxEpLenRet is the full-epoch return for every env
+- bootstrap values are zeroed at every done and at timeout (cpo.py:632-655)
+- CumulativeCost and CostRate track every step's cost (cpo.py:609,686-697)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from guardx_tpu.algos import buffer, core
+from guardx_tpu.algos.base import Algorithm, AlgoState, Networks
+from guardx_tpu.envs.engine import Engine, EnvState, LayoutPool
+
+
+@struct.dataclass
+class RunnerState:
+    algo: AlgoState
+    env_state: EnvState  # batched (B, ...)
+    obs: jnp.ndarray  # (B, O_env)
+    pool: LayoutPool
+    rollout_carry: Any  # algo-specific per-env dict (M, prev_c, ...)
+    cum_cost: jnp.ndarray  # ()
+    rng: jnp.ndarray
+
+
+class Trainer:
+    """Binds an Engine, an Algorithm, and networks into a jitted epoch."""
+
+    def __init__(self, env: Engine, algo: Algorithm, seed: int = 0,
+                 hidden_sizes=(64, 64), epochs: int = 100):
+        self.env = env
+        self.algo = algo
+        self.epochs = epochs
+        self.B = env.env_num
+        self.T = env.num_steps  # max_ep_len == num_steps (create_env wiring)
+        obs_dim = env.obs_flat_size + (1 if algo.augments_obs else 0)
+        act_dim = env.action_space.shape[0]
+        self.nets = Networks(
+            obs_dim, act_dim, hidden_sizes, vc_softplus=algo.vc_softplus
+        )
+
+        rng = jax.random.PRNGKey(seed)
+        rng, k_net, k_extra, k_env, k_pool = jax.random.split(rng, 5)
+        pi, v, vc = self.nets.init(k_net)
+        self.v_optim = optax.adam(algo.hp['vf_lr'])
+        self.vc_optim = optax.adam(algo.hp['vcf_lr'])
+        extra = dict(algo.init_extra(k_extra, self.nets))
+        extra.update(algo.init_pi_opt(pi))
+        astate = AlgoState(
+            pi=pi, v=v, vc=vc,
+            v_opt=self.v_optim.init(v), vc_opt=self.vc_optim.init(vc),
+            extra=extra,
+        )
+
+        pool = jax.jit(env.make_layout_pool)(k_pool)
+        keys = jax.random.split(k_env, self.B)
+        obs, env_state = jax.jit(
+            jax.vmap(env.reset_single, in_axes=(0, None))
+        )(keys, pool)
+
+        self.state = RunnerState(
+            algo=astate, env_state=env_state, obs=obs, pool=pool,
+            rollout_carry=algo.rollout_carry_init(self.B),
+            cum_cost=jnp.float32(0.0), rng=rng,
+        )
+        self._epoch_jit = jax.jit(self._epoch, donate_argnums=(0,))
+        self.total_steps = 0
+
+    # ------------------------------------------------------------------
+
+    def _policy_step(self, astate: AlgoState, obs_pi, rng):
+        mu, log_std = self.nets.pi_apply(astate.pi, obs_pi)
+        a = core.gaussian_sample(rng, mu, log_std)
+        logp = core.gaussian_logp(mu, log_std, a)
+        v = self.nets.v_apply(astate.v, obs_pi)
+        vc = self.nets.vc_apply(astate.vc, obs_pi)
+        return a, v, vc, logp, mu, log_std
+
+    def _rollout(self, rs: RunnerState, epoch_frac):
+        """lax.scan over T env steps. Returns (rs, batch, metrics_accum)."""
+        algo, env, nets = self.algo, self.env, self.nets
+        B = self.B
+
+        def step_fn(carry, _):
+            env_state, obs, rcarry, rng, acc = carry
+            rng, k_act, k_corr = jax.random.split(rng, 3)
+            obs_pi = algo.obs_for_policy(obs, rcarry)
+            a, v, vc, logp, mu, log_std = self._policy_step(
+                rs.algo, obs_pi, k_act
+            )
+            a_exec, act_extra = algo.correct_action(
+                nets, rs.algo, obs_pi, a, rcarry, epoch_frac, k_corr
+            )
+            obs2, rew, done, info, env_state = jax.vmap(env.step_single)(
+                env_state, a_exec
+            )
+            cost = info['cost']
+            stored_cost, rcarry, cost_extra = algo.process_cost(
+                cost, rcarry, done
+            )
+
+            # ---- episode accounting (cpo.py:609-665) ----
+            ep_ret = acc['ep_ret'] + rew
+            ep_cost = acc['ep_cost'] + cost
+            ep_cost_ret = acc['ep_cost_ret'] + cost * acc['gamma_pow']
+            ep_len = acc['ep_len'] + 1.0
+            max_ep_len_ret = acc['max_ep_len_ret'] + rew
+
+            d = done
+            acc = dict(
+                acc,
+                ep_ret=ep_ret * (1 - d), ep_cost=ep_cost * (1 - d),
+                ep_cost_ret=ep_cost_ret * (1 - d), ep_len=ep_len * (1 - d),
+                max_ep_len_ret=max_ep_len_ret,
+                gamma_pow=acc['gamma_pow'] * algo.hp['gamma'],
+                # episode sums over mid-epoch dones
+                sum_ep_ret=acc['sum_ep_ret'] + jnp.sum(d * ep_ret),
+                sum_ep_cost=acc['sum_ep_cost'] + jnp.sum(d * ep_cost),
+                sum_ep_cost_ret=acc['sum_ep_cost_ret'] + jnp.sum(d * ep_cost_ret),
+                sum_ep_len=acc['sum_ep_len'] + jnp.sum(d * ep_len),
+                n_ep=acc['n_ep'] + jnp.sum(d),
+                sum_cost_all=acc['sum_cost_all'] + jnp.sum(cost),
+                sum_v=acc['sum_v'] + jnp.sum(v),
+            )
+            if 'ep_max_cost' in cost_extra:
+                acc['sum_ep_max_cost'] = acc['sum_ep_max_cost'] + jnp.sum(
+                    d * cost_extra['ep_max_cost']
+                )
+
+            out = dict(
+                obs=obs_pi, act=a, act_safe=a_exec, rew=rew, val=v, vc=vc,
+                logp=logp, mu=mu, logstd=log_std, cost=stored_cost,
+                raw_cost=cost, done=done,
+            )
+            for k, vv in act_extra.items():
+                out[k] = vv
+            for k, vv in cost_extra.items():
+                out[k] = vv
+
+            # partial auto-reset (skipped when nothing is done — the settle
+            # physics is the expensive part)
+            if not algo.one_episode:
+                def do_reset(args):
+                    es, ob = args
+                    ob2, es2 = jax.vmap(
+                        env.reset_done_single, in_axes=(0, 0, 0, None)
+                    )(es, done, ob, rs.pool)
+                    return es2, ob2
+
+                env_state, obs2 = jax.lax.cond(
+                    jnp.any(done > 0), do_reset, lambda args: args,
+                    (env_state, obs2),
+                )
+            return (env_state, obs2, rcarry, rng, acc), out
+
+        acc0 = dict(
+            ep_ret=jnp.zeros(B), ep_cost=jnp.zeros(B),
+            ep_cost_ret=jnp.zeros(B), ep_len=jnp.zeros(B),
+            max_ep_len_ret=jnp.zeros(B), gamma_pow=jnp.float32(1.0),
+            sum_ep_ret=jnp.float32(0.0), sum_ep_cost=jnp.float32(0.0),
+            sum_ep_cost_ret=jnp.float32(0.0), sum_ep_len=jnp.float32(0.0),
+            n_ep=jnp.float32(0.0), sum_cost_all=jnp.float32(0.0),
+            sum_v=jnp.float32(0.0),
+        )
+        if self.algo.augments_obs:
+            acc0['sum_ep_max_cost'] = jnp.float32(0.0)
+
+        (env_state, obs, rcarry, rng, acc), batch = jax.lax.scan(
+            step_fn,
+            (rs.env_state, rs.obs, rs.rollout_carry, rs.rng, acc0),
+            (), length=self.T,
+        )
+        rs = rs.replace(
+            env_state=env_state, obs=obs, rollout_carry=rcarry, rng=rng,
+            cum_cost=rs.cum_cost + acc['sum_cost_all'],
+        )
+        return rs, batch, acc
+
+    def _build_data(self, batch, acc):
+        """GAE + normalization + flattening (reference buf.get, cpo.py:139-172)."""
+        algo = self.algo
+        gamma, lam = algo.hp['gamma'], algo.hp['lam']
+        T, B = self.T, self.B
+
+        done = batch['done']
+        # timeout: epoch end finishes every path with zero bootstrap
+        done_gae = done.at[-1, :].set(1.0)
+        adv, ret = buffer.gae(batch['rew'], batch['val'], done_gae, gamma, lam)
+        adc, cret = buffer.gae(batch['cost'], batch['vc'], done_gae, gamma, lam)
+
+        if algo.one_episode:
+            valid = buffer.one_episode_mask(done)
+        else:
+            valid = jnp.ones_like(done)
+        adv_n, adc_n = buffer.normalize_advantages(adv, adc, valid)
+
+        flat = lambda x: x.reshape((T * B,) + x.shape[2:])
+        data = dict(
+            obs=flat(batch['obs']), act=flat(batch['act']),
+            act_safe=flat(batch['act_safe']),
+            adv=flat(adv_n), adc=flat(adc_n),
+            ret=flat(ret), cret=flat(cret),
+            logp=flat(batch['logp']), mu=flat(batch['mu']),
+            logstd=flat(batch['logstd']),
+            cost=flat(batch['cost']), val=flat(batch['val']),
+            # one-step TD deltas (APO's 'adv_pair', apo.py:99-100)
+            delta=flat(
+                batch['rew']
+                + gamma * jnp.concatenate(
+                    [batch['val'][1:], jnp.zeros_like(batch['val'][:1])]
+                ) * (1 - done_gae)
+                - batch['val']
+            ),
+            valid=flat(valid),
+            prev_cost=flat(batch.get('prev_cost', jnp.zeros((T, B)))),
+            # (T, B) views for algorithms needing episode structure
+            obs_tb=batch['obs'], act_tb=batch['act'],
+            logp_tb=batch['logp'], cost_tb=batch['cost'],
+            done_tb=done_gae, qc_tb=batch.get('qc', jnp.zeros((T, B))),
+        )
+
+        # epoch-end episode logging (cpo.py:641-645): envs that ran the full
+        # epoch without a reset count as one episode each
+        full = (acc['ep_len'] == self.T).astype(jnp.float32)
+        n_ep = acc['n_ep'] + jnp.sum(full)
+        sum_ep_ret = acc['sum_ep_ret'] + jnp.sum(full * acc['ep_ret'])
+        sum_ep_cost = acc['sum_ep_cost'] + jnp.sum(full * acc['ep_cost'])
+        sum_ep_cost_ret = acc['sum_ep_cost_ret'] + jnp.sum(full * acc['ep_cost_ret'])
+        sum_ep_len = acc['sum_ep_len'] + jnp.sum(full * acc['ep_len'])
+        n_safe = jnp.maximum(n_ep, 1.0)
+        aux = dict(
+            ep_ret=sum_ep_ret / n_safe,
+            ep_cost=sum_ep_cost / n_safe,
+            ep_cost_ret=sum_ep_cost_ret / n_safe,
+            ep_len=sum_ep_len / n_safe,
+            n_ep=n_ep,
+            max_ep_len_ret=jnp.mean(acc['max_ep_len_ret']),
+            vvals=acc['sum_v'] / (self.T * self.B),
+        )
+        return data, aux
+
+    def _epoch(self, rs: RunnerState, epoch_frac):
+        rs, batch, acc = self._rollout(rs, epoch_frac)
+        data, aux = self._build_data(batch, acc)
+        if self.algo.augments_obs:
+            # epoch-end episodes contribute their final running max M
+            full = (acc['ep_len'] == self.T).astype(jnp.float32)
+            n_safe = jnp.maximum(aux['n_ep'], 1.0)
+            aux['ep_max_cost'] = (
+                acc['sum_ep_max_cost'] + jnp.sum(full * rs.rollout_carry['M'])
+            ) / n_safe
+
+        opts = {'v': self.v_optim, 'vc': self.vc_optim}
+        astate, metrics = self.algo.update(self.nets, rs.algo, data, aux, opts)
+
+        # full reset for the next epoch: fresh pool + all envs
+        # (reference reset at timeout, cpo.py:648; reset_layout resamples the
+        # pool every reset, engine.py:433-444)
+        rng, k_pool, k_env = jax.random.split(rs.rng, 3)
+        pool = self.env.make_layout_pool(k_pool)
+        keys = jax.random.split(k_env, self.B)
+        obs, env_state = jax.vmap(
+            self.env.reset_single, in_axes=(0, None)
+        )(keys, pool)
+
+        rs = rs.replace(
+            algo=astate, env_state=env_state, obs=obs, pool=pool, rng=rng,
+            rollout_carry=self.algo.rollout_carry_init(self.B),
+        )
+        metrics = dict(
+            metrics,
+            EpRet=aux['ep_ret'], EpCost=aux['ep_cost'],
+            EpCostRet=aux['ep_cost_ret'], EpLen=aux['ep_len'],
+            MaxEpLenRet=aux['max_ep_len_ret'], VVals=aux['vvals'],
+            Episodes=aux['n_ep'], CumulativeCost=rs.cum_cost,
+        )
+        if 'ep_max_cost' in aux:
+            metrics['EpMaxCost'] = aux['ep_max_cost']
+        return rs, metrics
+
+    # ------------------------------------------------------------------
+
+    def run_epoch(self, epoch: int):
+        """One epoch; returns a {name: float} metrics dict."""
+        t0 = time.time()
+        epoch_frac = jnp.float32(epoch / max(self.epochs, 1))
+        self.state, metrics = self._epoch_jit(self.state, epoch_frac)
+        metrics = {k: float(v) for k, v in metrics.items()}
+        self.total_steps += self.T * self.B
+        metrics['TotalEnvInteracts'] = self.total_steps
+        metrics['CostRate'] = metrics['CumulativeCost'] / self.total_steps
+        metrics['TEpoch'] = time.time() - t0
+        metrics['StepsPerSec'] = self.T * self.B / metrics['TEpoch']
+        return metrics

@@ -328,16 +328,20 @@ class Engine:
 
     def _layout_static(self):
         """Per-object static arrays in sampling order: constrained rects and
-        keepouts (cached)."""
+        keepouts (host numpy, cached; converted to device constants at trace
+        time — caching jnp arrays here would leak tracers across jits)."""
         if not hasattr(self, '_layout_rects'):
             rects, keepouts = [], []
             for name in self._sample_order:
                 placement, keepout = self.placements[name]
                 rects.append(self._constrained_rect(placement, keepout))
                 keepouts.append(keepout)
-            self._layout_rects = jnp.asarray(rects, dtype=jnp.float32)  # (n,4)
-            self._layout_keepouts = jnp.asarray(keepouts, dtype=jnp.float32)
-        return self._layout_rects, self._layout_keepouts
+            self._layout_rects = np.asarray(rects, dtype=np.float32)  # (n,4)
+            self._layout_keepouts = np.asarray(keepouts, dtype=np.float32)
+        return (
+            jnp.asarray(self._layout_rects),
+            jnp.asarray(self._layout_keepouts),
+        )
 
     def sample_layout_once(self, rng):
         """One whole-layout attempt (reference sample_layout, engine.py:546-572).
@@ -534,7 +538,13 @@ class Engine:
         steps = jnp.where(done > 0.0, 0, mid.steps + 1)
 
         rng, _ = jax.random.split(mid.rng)
-        new_state = mid.replace(steps=steps, rng=rng)
+        # advance the done chain: this step's done becomes next step's
+        # last_done (reference keeps self._done and rotates it in
+        # update_data, engine.py:426-431,489)
+        new_state = mid.replace(
+            steps=steps, rng=rng,
+            last_done=done, last_last_done=state.last_done,
+        )
         info = {'cost': cost, 'goal_met': (self.goal_dist(mid, data) < self.goal_size).astype(jnp.float32)}
         return flat_obs, reward, done, info, new_state
 
@@ -549,30 +559,25 @@ class Engine:
         qpos = jnp.where(done > 0.0, qpos_reset, data.qpos)
         qvel = jnp.where(done > 0.0, jnp.zeros_like(data.qvel), data.qvel)
         ctrl = jnp.where(done > 0.0, jnp.zeros_like(data.ctrl), data.ctrl)
-        data = data.replace(qpos=qpos, qvel=qvel, ctrl=ctrl)
+        merged = data.replace(qpos=qpos, qvel=qvel, ctrl=ctrl)
+        merged = physics.forward(self.model, merged)  # refresh xpos/xmat
 
+        # one settling step feeds the reset observation ONLY — the returned
+        # state is the merged (un-stepped) data, exactly like the reference
+        # (mjx_reset_done returns `data`, not `data_reset` — engine.py:724-731)
         def f(d, _):
             return physics.step(self.model, d), None
 
-        data, _ = jax.lax.scan(f, data, (), self.physics_steps_per_control_step)
+        settled, _ = jax.lax.scan(f, merged, (), self.physics_steps_per_control_step)
 
         goal_pos = jnp.where(done > 0.0, layout['goal'], state.goal_pos)
         hazards_pos = jnp.where(done > 0.0, layout['hazards'], state.hazards_pos)
         fresh = state.replace(
-            data=data, goal_pos=goal_pos, hazards_pos=hazards_pos, rng=rng,
+            data=merged, goal_pos=goal_pos, hazards_pos=hazards_pos, rng=rng,
         )
-        obs_reset, _ = self.obs(fresh, data)
+        obs_reset, _ = self.obs(fresh.replace(data=settled), settled)
         flat_obs = jnp.where(done > 0.0, obs_reset, flat_obs)
-        # history for reset envs points at the new pose
-        robot_pos = data.xpos[self.body_robot]
-        new_state = fresh.replace(
-            robot_pos_last=jnp.where(done > 0.0, robot_pos, state.robot_pos_last),
-            robot_pos_last_last=jnp.where(
-                done > 0.0, robot_pos, state.robot_pos_last_last
-            ),
-            steps=jnp.where(done > 0.0, 0, state.steps),
-        )
-        return flat_obs, new_state
+        return flat_obs, fresh
 
     # ------------------------------------------------------------------
     # observation / reward / cost (single env)

@@ -9,6 +9,9 @@ backend has not been initialized yet.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# the persistent compile cache is keyed for the TPU host; avoid noisy
+# machine-feature mismatch warnings in CPU test runs
+os.environ["GUARDX_NO_COMPILE_CACHE"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
