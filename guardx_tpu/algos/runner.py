@@ -46,10 +46,11 @@ class Trainer:
     """Binds an Engine, an Algorithm, and networks into a jitted epoch."""
 
     def __init__(self, env: Engine, algo: Algorithm, seed: int = 0,
-                 hidden_sizes=(64, 64), epochs: int = 100):
+                 hidden_sizes=(64, 64), epochs: int = 100, mesh=None):
         self.env = env
         self.algo = algo
         self.epochs = epochs
+        self.mesh = mesh
         self.B = env.env_num
         self.T = env.num_steps  # max_ep_len == num_steps (create_env wiring)
         obs_dim = env.obs_flat_size + (1 if algo.augments_obs else 0)
@@ -82,7 +83,19 @@ class Trainer:
             rollout_carry=algo.rollout_carry_init(self.B),
             cum_cost=jnp.float32(0.0), rng=rng,
         )
-        self._epoch_jit = jax.jit(self._epoch, donate_argnums=(0,))
+        if mesh is not None:
+            # shard the env axis over the mesh; GSPMD partitions the whole
+            # epoch and inserts the gradient/stat collectives (parallel/mesh)
+            from guardx_tpu.parallel import state_shardings
+
+            shardings = state_shardings(mesh, self.state, self.B)
+            self.state = jax.device_put(self.state, shardings)
+            self._epoch_jit = jax.jit(
+                self._epoch, donate_argnums=(0,),
+                in_shardings=(shardings, None),
+            )
+        else:
+            self._epoch_jit = jax.jit(self._epoch, donate_argnums=(0,))
         self.total_steps = 0
 
     # ------------------------------------------------------------------
