@@ -1,0 +1,159 @@
+"""Unified training CLI: every algorithm, every GUARD task, one entry point.
+
+Replaces the reference's 19 per-algorithm ``python <algo>.py`` scripts
+(e.g. cpo/cpo.py:714-750): same flags (--task --target_cost --target_kl
+--hid --l --gamma --seed --env_num --max_ep_len --epochs --exp_name
+--model_save), same experiment-name convention
+``<task>_<algo>_kl<·>_target_cost<·>_epochs<·>_step<·>``, same log-dir
+layout ``./logs/<exp>/<exp>_s<seed>/`` with progress.txt + config.json,
+plus what the reference lacks: ``--algo`` selection, ``--resume`` from the
+orbax checkpoint, ``--mesh`` data-parallel sharding over all local devices,
+and ``--one_episode`` (the reference forks whole ``*_one_episode/``
+directories for that — SURVEY.md §2.2).
+
+Usage:
+    python -m guardx_tpu.train --algo cpo --task Goal_Point_8Hazards \
+        --env_num 1200 --max_ep_len 200 --epochs 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def get_parser() -> argparse.ArgumentParser:
+    """CLI surface (reference cpo/cpo.py:714-731 + extensions)."""
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--algo', type=str, default='cpo',
+                        help='algorithm name (see guardx_tpu.algos REGISTRY)')
+    parser.add_argument('--task', type=str, default='Goal_Point_8Hazards')
+    parser.add_argument('--target_cost', type=float, default=0.0)
+    parser.add_argument('--target_kl', type=float, default=0.02)
+    parser.add_argument('--cost_reduction', type=float, default=0.0)
+    parser.add_argument('--hid', type=int, default=64)
+    parser.add_argument('--l', type=int, default=2)
+    parser.add_argument('--gamma', type=float, default=0.99)
+    parser.add_argument('--lam', type=float, default=0.97)
+    parser.add_argument('--seed', '-s', type=int, default=0)
+    parser.add_argument('--env_num', type=int, default=1200)
+    parser.add_argument('--max_ep_len', type=int, default=200)
+    parser.add_argument('--epochs', type=int, default=100)
+    parser.add_argument('--exp_name', type=str, default=None,
+                        help='defaults to the algo name (reference behavior)')
+    parser.add_argument('--model_save', action='store_true')
+    parser.add_argument('--save_freq', type=int, default=10)
+    parser.add_argument('--one_episode', action='store_true',
+                        help='one-episode-per-env epochs (the reference\'s '
+                             '*_one_episode variants)')
+    parser.add_argument('--resume', action='store_true',
+                        help='resume from the checkpoint in the log dir')
+    parser.add_argument('--mesh', action='store_true',
+                        help='shard the env axis over all local devices')
+    parser.add_argument('--data_dir', type=str, default=None)
+    return parser
+
+
+def make_exp_name(args) -> str:
+    """Reference naming convention (cpo/cpo.py:735-739)."""
+    exp = args.exp_name or args.algo
+    return (f"{args.task}_{exp}"
+            f"_kl{args.target_kl}"
+            f"_target_cost{args.target_cost}"
+            f"_epochs{args.epochs}"
+            f"_step{args.max_ep_len * args.env_num}")
+
+
+def run(args) -> dict:
+    """Build env + algo + trainer from args and train. Returns the last
+    epoch's metrics dict."""
+    from guardx_tpu.algos.algorithms import REGISTRY
+    from guardx_tpu.algos.runner import Trainer
+    from guardx_tpu.envs.registry import create_env
+    from guardx_tpu.utils import checkpoint as ckpt
+    from guardx_tpu.utils.logx import EpochLogger, setup_logger_kwargs
+
+    if args.algo not in REGISTRY:
+        raise SystemExit(
+            f"unknown algo '{args.algo}'; available: {sorted(REGISTRY)}"
+        )
+
+    logger_kwargs = setup_logger_kwargs(
+        make_exp_name(args), args.seed, data_dir=args.data_dir
+    )
+    logger = EpochLogger(**logger_kwargs)
+    logger.save_config(vars(args))
+
+    env = create_env(args)
+    algo_cls = REGISTRY[args.algo]
+    algo = algo_cls(
+        target_cost=args.target_cost, target_kl=args.target_kl,
+        cost_reduction=args.cost_reduction, gamma=args.gamma, lam=args.lam,
+    )
+    if args.one_episode:
+        algo.one_episode = True
+
+    mesh = None
+    if args.mesh:
+        from guardx_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+
+    trainer = Trainer(
+        env, algo, seed=args.seed, hidden_sizes=tuple([args.hid] * args.l),
+        epochs=args.epochs, mesh=mesh,
+    )
+    logger.setup_model_saver(trainer.state.algo)
+
+    start_epoch = 0
+    if args.resume and ckpt.has_checkpoint(logger.output_dir):
+        trainer.state, start_epoch, trainer.total_steps = (
+            ckpt.restore_checkpoint(logger.output_dir, trainer.state)
+        )
+        logger.log(f"Resumed from epoch {start_epoch}", 'yellow')
+
+    metrics = {}
+    start = time.time()
+    for epoch in range(start_epoch, args.epochs):
+        metrics = trainer.run_epoch(epoch)
+
+        # reference metric vocabulary + order (cpo/cpo.py:683-712)
+        logger.log_tabular('Epoch', epoch)
+        for key in ('EpRet', 'EpCost', 'EpCostRet', 'EpLen', 'EpMaxCost',
+                    'MaxEpLenRet'):
+            if key in metrics:
+                logger.log_tabular(key, metrics[key])
+        logger.log_tabular('CumulativeCost', metrics['CumulativeCost'])
+        logger.log_tabular('CostRate', metrics['CostRate'])
+        logger.log_tabular('VVals', metrics['VVals'])
+        logger.log_tabular('TotalEnvInteracts', metrics['TotalEnvInteracts'])
+        for key in sorted(metrics):
+            if key not in ('EpRet', 'EpCost', 'EpCostRet', 'EpLen',
+                           'EpMaxCost', 'MaxEpLenRet', 'CumulativeCost',
+                           'CostRate', 'VVals', 'TotalEnvInteracts',
+                           'TEpoch', 'StepsPerSec'):
+                logger.log_tabular(key, metrics[key])
+        logger.log_tabular('TEpoch', metrics['TEpoch'])
+        logger.log_tabular('StepsPerSec', metrics['StepsPerSec'])
+        logger.log_tabular('Time', time.time() - start)
+        logger.dump_tabular()
+
+        if args.model_save and (
+            (epoch % args.save_freq == 0) or (epoch == args.epochs - 1)
+        ):
+            logger.model_saver_elements = trainer.state.algo
+            logger.save_state({'total_steps': trainer.total_steps})
+            ckpt.save_checkpoint(
+                logger.output_dir, trainer.state, epoch + 1,
+                trainer.total_steps,
+            )
+    return metrics
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    run(args)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,193 @@
+"""Harness layer tests: task registry, logger output formats, train CLI,
+checkpoint/resume, interop converters (SURVEY.md §2.3, §5)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from guardx_tpu.envs.registry import (
+    _REGISTRY, ISAAC_GYM_TASKS, configuration, configuration_list, create_env,
+)
+
+
+class Args:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def test_registry_names_match_reference():
+    # 74 GUARD names (19 Goal + 18 each Push/Chase/Defense + nosensor)
+    # + 16 IsaacGym names (reference safe_rl_env_config.py task grid)
+    guard = [k for k in _REGISTRY if k not in ISAAC_GYM_TASKS]
+    assert len(guard) == 74
+    assert len(_REGISTRY) == 90
+    assert 'Goal_Doggo_8Hazards' in _REGISTRY
+    assert 'Goal_Doggo_8Ghosts' not in _REGISTRY
+    assert 'Push_Doggo_8Hazards' not in _REGISTRY
+
+
+def test_goal_point_config_values():
+    c = configuration_list('Goal_Point_8Hazards')
+    assert c == {
+        'robot_base': 'xmls/point.xml', 'task': 'goal', 'goal_size': 0.5,
+        'constrain_indicator': False, 'lidar_num_bins': 16,
+        'observe_goal_comp': True, 'observe_hazards': True,
+        'constrain_hazards': True, 'hazards_num': 8, 'hazards_size': 0.3,
+    }
+
+
+def test_compositional_parser():
+    c = configuration('Goal_Ant_4Hazards_noconti')
+    assert c['hazards_num'] == 4
+    assert c['continue_goal'] is False
+    assert c['robot_base'] == 'xmls/ant.xml'
+    c2 = configuration('Goal_Point_2Hazards')
+    assert c2['hazards_num'] == 2 and c2['continue_goal'] is True
+
+
+def test_create_env_constructibility_parity():
+    env = create_env(Args(task='Goal_Point_8Hazards', env_num=2, seed=0,
+                          max_ep_len=8))
+    assert env.env_num == 2 and env.num_steps == 8
+    # Ghost/Push/Chase configs carry legacy keys the Engine rejects, as in
+    # the reference (SURVEY.md §1 L4)
+    with pytest.raises(AssertionError):
+        create_env(Args(task='Goal_Point_8Ghosts', env_num=2, seed=0,
+                        max_ep_len=8))
+
+
+# ---------------------------------------------------------------------------
+# logger
+# ---------------------------------------------------------------------------
+
+def test_epoch_logger_progress_format(tmp_path):
+    from guardx_tpu.utils.logx import EpochLogger
+
+    logger = EpochLogger(output_dir=str(tmp_path / 'run'), exp_name='t')
+    logger.save_config({'seed': 0, 'fn': lambda: 1})
+    for ep in range(2):
+        logger.store(EpRet=1.0 + ep, EpRet2=2.0)
+        logger.log_tabular('Epoch', ep)
+        logger.log_tabular('EpRet', average_only=True)
+        logger.log_tabular('EpRet2', with_min_and_max=True)
+        logger.dump_tabular()
+
+    lines = (tmp_path / 'run' / 'progress.txt').read_text().splitlines()
+    assert lines[0].split('\t') == [
+        'Epoch', 'EpRet', 'AverageEpRet2', 'StdEpRet2', 'MaxEpRet2',
+        'MinEpRet2',
+    ]
+    assert len(lines) == 3
+    row = dict(zip(lines[0].split('\t'), lines[1].split('\t')))
+    assert float(row['EpRet']) == 1.0 and float(row['MaxEpRet2']) == 2.0
+
+    cfg = json.loads((tmp_path / 'run' / 'config.json').read_text())
+    assert cfg['seed'] == 0 and cfg['exp_name'] == 't'
+
+
+def test_logger_save_state(tmp_path):
+    import jax.numpy as jnp
+    from guardx_tpu.utils.logx import EpochLogger
+
+    logger = EpochLogger(output_dir=str(tmp_path / 'run'))
+    logger.setup_model_saver({'w': jnp.ones((3,))})
+    logger.save_state({'steps': 7})
+    import joblib
+
+    assert joblib.load(tmp_path / 'run' / 'vars.pkl') == {'steps': 7}
+    model = joblib.load(tmp_path / 'run' / 'jax_save' / 'model.pkl')
+    np.testing.assert_array_equal(model['w'], np.ones(3))
+
+
+# ---------------------------------------------------------------------------
+# CLI + checkpoint/resume
+# ---------------------------------------------------------------------------
+
+def test_train_cli_end_to_end(tmp_path, monkeypatch):
+    from guardx_tpu import train
+
+    monkeypatch.chdir(tmp_path)
+    args = train.get_parser().parse_args([
+        '--algo', 'ppo', '--task', 'Goal_Point_8Hazards',
+        '--env_num', '4', '--max_ep_len', '4', '--epochs', '2',
+        '--model_save', '--save_freq', '1',
+    ])
+    metrics = train.run(args)
+    assert np.isfinite(metrics['EpRet'])
+
+    exp = train.make_exp_name(args)
+    run_dir = tmp_path / 'logs' / exp / f'{exp}_s0'
+    progress = (run_dir / 'progress.txt').read_text().splitlines()
+    assert len(progress) == 3  # header + 2 epochs
+    assert (run_dir / 'config.json').exists()
+    assert (run_dir / 'checkpoint' / 'meta.json').exists()
+
+    # resume: epoch counter restored, no epochs left to run
+    meta = json.loads((run_dir / 'checkpoint' / 'meta.json').read_text())
+    assert meta['epoch'] == 2 and meta['total_steps'] == 32
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from guardx_tpu.utils import checkpoint as ckpt
+
+    state = {'a': jnp.arange(4, dtype=jnp.float32),
+             'b': {'c': jnp.float32(2.5)}}
+    ckpt.save_checkpoint(str(tmp_path), state, epoch=3, total_steps=99)
+    assert ckpt.has_checkpoint(str(tmp_path))
+    like = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored, epoch, steps = ckpt.restore_checkpoint(str(tmp_path), like)
+    assert epoch == 3 and steps == 99
+    np.testing.assert_array_equal(np.asarray(restored['a']), np.arange(4))
+    assert float(restored['b']['c']) == 2.5
+
+
+# ---------------------------------------------------------------------------
+# interop
+# ---------------------------------------------------------------------------
+
+def test_torch_interop_roundtrip():
+    torch = pytest.importorskip('torch')
+    import jax.numpy as jnp
+    from guardx_tpu.utils.interop import jax_to_torch, torch_to_jax
+
+    t = torch.arange(6, dtype=torch.float32).reshape(2, 3)
+    j = torch_to_jax(t)
+    assert isinstance(j, __import__('jax').Array)
+    np.testing.assert_array_equal(np.asarray(j), t.numpy())
+
+    back = jax_to_torch(jnp.asarray([1.0, 2.0]))
+    assert back.dtype == torch.float32
+    d = torch_to_jax({'x': t})
+    assert isinstance(d, dict)
+
+
+def test_external_env_wrapper_pads_cost():
+    from guardx_tpu.envs.wrappers import ExternalEnvWrapper
+
+    class FakeEnv:
+        observation_space = None
+        action_space = None
+        num_envs = 3
+
+        def reset(self):
+            return np.zeros((3, 5), np.float32)
+
+        def step(self, action):
+            obs = np.ones((3, 5), np.float32)
+            rew = np.full((3,), 2.0, np.float32)
+            done = np.zeros((3,), np.float32)
+            return obs, rew, done, {}
+
+    env = ExternalEnvWrapper(FakeEnv())
+    obs = env.reset()
+    assert obs.shape == (3, 5)
+    obs, rew, done, info = env.step(np.zeros((3, 2)))
+    np.testing.assert_array_equal(np.asarray(info['cost']), np.zeros(3))
