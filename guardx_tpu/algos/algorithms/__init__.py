@@ -8,12 +8,14 @@ from guardx_tpu.algos.algorithms.tr_family import (
 )
 from guardx_tpu.algos.algorithms.scpo import SCPO
 from guardx_tpu.algos.algorithms.qc_family import USL, SafetyLayer, LPG
+from guardx_tpu.algos.algorithms.oe_family import ESPO, AlphaPPO, VMPO, PAPO
 
 REGISTRY = {
     cls.name: cls
     for cls in [
         PPO, A2C, APO, TRPO, TRPOLag, CPO, PCPO, PDO, TRPOIPO, TRPOFAC,
         SCPO, USL, SafetyLayer, LPG,
+        ESPO, AlphaPPO, VMPO, PAPO,  # one-episode-only family
     ]
 }
 

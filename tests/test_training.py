@@ -28,7 +28,7 @@ def test_algorithm_trains(env, name):
     algo = REGISTRY[name](target_cost=0.0, target_kl=0.02,
                           train_v_iters=5, train_vc_iters=5,
                           backtrack_iters=10)
-    if hasattr(algo.hp, 'train_pi_iters'):
+    if 'train_pi_iters' in algo.hp:
         algo.hp['train_pi_iters'] = 5
     if 'train_ccritic_iters' in algo.hp:
         algo.hp['train_ccritic_iters'] = 5
@@ -55,3 +55,19 @@ def test_deterministic_given_seed():
     m2 = Trainer(Engine(cfg), REGISTRY['trpo'](), seed=1, epochs=1).run_epoch(0)
     for k in ('EpRet', 'EpCost', 'LossPi', 'KL'):
         assert m1[k] == m2[k], f"{k}: {m1[k]} != {m2[k]}"
+
+
+@pytest.mark.parametrize("name", ["trpo", "cpo", "ppo"])
+def test_one_episode_mode(env, name):
+    """The reference forks *_one_episode dirs; here it's a flag: rewards
+    after the first done are masked out of the update (SURVEY.md §3.4)."""
+    algo = REGISTRY[name](target_cost=0.0, target_kl=0.02,
+                          train_v_iters=3, train_vc_iters=3,
+                          backtrack_iters=5)
+    algo.one_episode = True
+    if 'train_pi_iters' in algo.hp:
+        algo.hp['train_pi_iters'] = 3
+    tr = Trainer(env, algo, seed=0, epochs=1)
+    m = tr.run_epoch(0)
+    for k, v in m.items():
+        assert np.isfinite(v), f"{name} one-episode: {k} = {v}"
