@@ -701,7 +701,19 @@ class Engine:
 
     def render(self, env_idx: int = 0, width: int = 640, height: int = 480):
         """Offscreen render of one env (reference engine.py:1036-1070 uses a
-        passive viewer + Renderer; here headless Renderer only)."""
+        passive viewer + Renderer). Tries mujoco's GL Renderer; on headless
+        hosts without EGL/OSMesa it falls back to a software top-down
+        painter with the goal/hazard overlays the reference draws as
+        sites."""
+        headless = not os.environ.get('DISPLAY') and not os.environ.get('MUJOCO_GL')
+        if not headless:
+            try:
+                return self._render_mujoco(env_idx, width, height)
+            except Exception:
+                pass
+        return self._render_topdown(env_idx, width, height)
+
+    def _render_mujoco(self, env_idx, width, height):
         import mujoco
 
         if self.renderer is None:
@@ -712,3 +724,41 @@ class Engine:
         mujoco.mj_forward(self.mj_model, mj_data)
         self.renderer.update_scene(mj_data)
         return self.renderer.render()
+
+    def _render_topdown(self, env_idx, width, height):
+        """Software 2D view: extents grid, hazards (blue), goal (green),
+        robot position + heading (red). Returns (H, W, 3) uint8."""
+        import matplotlib
+
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+        from matplotlib.patches import Circle
+
+        state = self._state
+        robot = np.asarray(state.data.xpos[env_idx, self.body_robot])
+        mat = np.asarray(state.data.xmat[env_idx, self.body_robot])
+        goal = np.asarray(state.goal_pos[env_idx])
+        hazards = np.asarray(state.hazards_pos[env_idx])
+
+        fig = plt.figure(figsize=(width / 100, height / 100), dpi=100)
+        ax = fig.add_axes([0, 0, 1, 1])
+        xmin, ymin, xmax, ymax = self.placements_extents
+        pad = 0.5
+        ax.set_xlim(xmin - pad, xmax + pad)
+        ax.set_ylim(ymin - pad, ymax + pad)
+        ax.set_aspect('equal')
+        ax.set_facecolor('#f2f2f2')
+        ax.grid(True, lw=0.3, color='w')
+        if self.hazards_num:
+            for hz in hazards:
+                ax.add_patch(Circle(hz, self.hazards_size, color='#3355cc',
+                                    alpha=0.5))
+        ax.add_patch(Circle(goal, self.goal_size, color='#33aa33', alpha=0.5))
+        ax.add_patch(Circle(robot[:2], 0.1, color='#cc3333'))
+        heading = mat @ np.array([0.3, 0.0, 0.0])
+        ax.arrow(robot[0], robot[1], heading[0], heading[1],
+                 head_width=0.08, color='#cc3333')
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[:, :, :3].copy()
+        plt.close(fig)
+        return buf

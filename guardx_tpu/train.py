@@ -19,6 +19,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 
@@ -51,6 +52,12 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument('--mesh', action='store_true',
                         help='shard the env axis over all local devices')
     parser.add_argument('--data_dir', type=str, default=None)
+    parser.add_argument('--profile', action='store_true',
+                        help='capture an xprof trace of epoch 1 into '
+                             '<logdir>/trace')
+    parser.add_argument('--debug_nans', action='store_true',
+                        help='jax debug_nans/debug_infs (fail at the '
+                             'producing op)')
     return parser
 
 
@@ -112,10 +119,22 @@ def run(args) -> dict:
         )
         logger.log(f"Resumed from epoch {start_epoch}", 'yellow')
 
+    if args.debug_nans:
+        from guardx_tpu.utils.profiling import enable_nan_debug
+
+        enable_nan_debug()
+
     metrics = {}
     start = time.time()
     for epoch in range(start_epoch, args.epochs):
-        metrics = trainer.run_epoch(epoch)
+        if args.profile and epoch == start_epoch + 1:
+            # epoch 0 compiles; trace the first steady-state epoch
+            from guardx_tpu.utils.profiling import trace
+
+            with trace(os.path.join(logger.output_dir, 'trace')):
+                metrics = trainer.run_epoch(epoch)
+        else:
+            metrics = trainer.run_epoch(epoch)
 
         # reference metric vocabulary + order (cpo/cpo.py:683-712)
         logger.log_tabular('Epoch', epoch)
