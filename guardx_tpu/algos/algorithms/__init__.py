@@ -9,6 +9,7 @@ from guardx_tpu.algos.algorithms.tr_family import (
 from guardx_tpu.algos.algorithms.scpo import SCPO
 from guardx_tpu.algos.algorithms.qc_family import USL, SafetyLayer, LPG
 from guardx_tpu.algos.algorithms.oe_family import ESPO, AlphaPPO, VMPO, PAPO
+from guardx_tpu.algos.algorithms.issa_family import ISSA, UAISSA
 
 REGISTRY = {
     cls.name: cls
@@ -16,6 +17,7 @@ REGISTRY = {
         PPO, A2C, APO, TRPO, TRPOLag, CPO, PCPO, PDO, TRPOIPO, TRPOFAC,
         SCPO, USL, SafetyLayer, LPG,
         ESPO, AlphaPPO, VMPO, PAPO,  # one-episode-only family
+        ISSA, UAISSA,  # legacy-layer safe-control family
     ]
 }
 

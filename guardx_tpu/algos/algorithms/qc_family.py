@@ -80,7 +80,8 @@ class USL(TRPO):
     def rollout_carry_init(self, B):
         return {'prev_c': jnp.zeros(B, jnp.float32)}
 
-    def correct_action(self, nets, s, obs, a, carry, epoch_frac, rng):
+    def correct_action(self, nets, s, obs, a, carry, epoch_frac, rng,
+                       env=None, env_state=None):
         corrected = usl_correction(
             self._qc.apply, s.extra['qc'], obs, a, self.hp['delta']
         )
@@ -157,7 +158,8 @@ class SafetyLayer(TRPO):
     def rollout_carry_init(self, B):
         return {'prev_c': jnp.zeros(B, jnp.float32)}
 
-    def correct_action(self, nets, s, obs, a, carry, epoch_frac, rng):
+    def correct_action(self, nets, s, obs, a, carry, epoch_frac, rng,
+                       env=None, env_state=None):
         """Closed-form Dalal correction (safelayer_core.py:169-190)."""
         g = self._g_net.apply(s.extra['g'], obs)  # (B, A)
         prev_c = carry['prev_c']

@@ -173,7 +173,12 @@ class Algorithm:
     def obs_for_policy(self, obs, carry):
         return obs
 
-    def correct_action(self, nets, s, obs, a, carry, epoch_frac, rng):
+    def correct_action(self, nets, s, obs, a, carry, epoch_frac, rng,
+                       env=None, env_state=None):
+        """Act-time safety correction hook. env/env_state let algorithms
+        probe candidate actions through the (pure) physics — the TPU-native
+        form of ISSA's save-state/step/rollback sampling
+        (safe_rl_lib/issa/trpoissa.py:337-369)."""
         return a, {}
 
     def process_cost(self, cost, carry, done):

@@ -121,7 +121,8 @@ class Trainer:
                 rs.algo, obs_pi, k_act
             )
             a_exec, act_extra = algo.correct_action(
-                nets, rs.algo, obs_pi, a, rcarry, epoch_frac, k_corr
+                nets, rs.algo, obs_pi, a, rcarry, epoch_frac, k_corr,
+                env=env, env_state=env_state,
             )
             obs2, rew, done, info, env_state = jax.vmap(env.step_single)(
                 env_state, a_exec
@@ -250,6 +251,12 @@ class Trainer:
             logp_tb=batch['logp'], cost_tb=batch['cost'],
             done_tb=done_gae, qc_tb=batch.get('qc', jnp.zeros((T, B))),
         )
+        # pass algorithm-specific rollout extras through flattened (e.g.
+        # UAISSA's (d, ddot) dynamics targets)
+        for k, v in batch.items():
+            if k not in data and k not in ('rew', 'val', 'vc', 'done',
+                                           'raw_cost', 'mu', 'logstd'):
+                data[k] = flat(v)
 
         # epoch-end episode logging (cpo.py:641-645): envs that ran the full
         # epoch without a reset count as one episode each
