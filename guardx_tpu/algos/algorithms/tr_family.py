@@ -29,12 +29,21 @@ from guardx_tpu.algos.base import (
 
 
 def _flat_closures(nets, pi_params, data):
-    """Flatten params and build flat-theta loss/cost/kl closures."""
+    """Flatten params and build flat-theta loss/cost/kl closures.
+
+    f_kl carries a `fvp_fn` attribute — the same KL over the capped
+    curvature batch (base.make_curvature_kl) — which tr.make_fvp picks up,
+    so Fisher-vector products run on the subsample while the line search
+    keeps the full-batch KL."""
+    from guardx_tpu.algos.base import make_curvature_kl
+
     loss_pi, surr_cost, kl = make_pi_closures(nets, data)
+    kl_curv = make_curvature_kl(nets, data)
     theta0, unravel = tr.flatten(pi_params)
     f_loss = lambda th: loss_pi(unravel(th))
     f_cost = lambda th: surr_cost(unravel(th))
     f_kl = lambda th: kl(unravel(th))
+    f_kl.fvp_fn = lambda th: kl_curv(unravel(th))
     return theta0, unravel, f_loss, f_cost, f_kl
 
 

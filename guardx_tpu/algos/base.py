@@ -100,6 +100,41 @@ def make_pi_closures(nets: Networks, data: dict):
     return loss_pi, surr_cost, kl
 
 
+FVP_MAX_SAMPLES = 16384  # curvature-batch cap; 0 = full batch
+
+
+def make_curvature_kl(nets: Networks, data: dict, max_n: int | None = None):
+    """KL closure over a strided subsample of the batch, for Fisher-vector
+    products only.
+
+    The reference evaluates its double-backward FVP on the full (B*T) batch
+    every CG iteration (cpo.py:206-222,459-475) — at suite scale that is
+    ~200 HBM-bound sweeps of an 800k-row batch per update for a ~7k-param
+    policy. The curvature estimate does not need that: the FVP batch is
+    capped (the gradient g, the line-search acceptance KL, and every loss
+    stay full-batch). Set GUARDX_FVP_SAMPLES=0 to force full-batch FVPs.
+    """
+    import os
+
+    if max_n is None:
+        max_n = int(os.environ.get('GUARDX_FVP_SAMPLES', FVP_MAX_SAMPLES))
+    obs, mu_old, logstd_old, w = (
+        data['obs'], data['mu'], data['logstd'], data['valid']
+    )
+    n = obs.shape[0]
+    if max_n and n > max_n:
+        stride = -(-n // max_n)  # ceil: spreads samples across (T, B)
+        obs, mu_old, logstd_old, w = (
+            obs[::stride], mu_old[::stride], logstd_old[::stride], w[::stride]
+        )
+
+    def kl(params):
+        mu, log_std = nets.pi_apply(params, obs)
+        return weighted_gaussian_kl(mu_old, logstd_old, mu, log_std, w)
+
+    return kl
+
+
 def pi_diagnostics(nets: Networks, params, data):
     """approx_kl and entropy at current params (cpo.py:400-403)."""
     obs, act = data['obs'], data['act']

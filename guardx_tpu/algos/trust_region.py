@@ -33,9 +33,11 @@ def make_fvp(kl_flat_fn, theta0):
 
     kl_flat_fn: flat params -> scalar mean KL vs the frozen old policy.
     Equivalent to the reference's auto_hession_x (cpo.py:216-222) without
-    materializing the intermediate graph.
+    materializing the intermediate graph. If the closure carries a
+    `fvp_fn` attribute (a capped-curvature-batch KL —
+    base.make_curvature_kl), the FVP differentiates that instead.
     """
-    grad_fn = jax.grad(kl_flat_fn)
+    grad_fn = jax.grad(getattr(kl_flat_fn, 'fvp_fn', kl_flat_fn))
 
     def fvp(v):
         return jax.jvp(grad_fn, (theta0,), (v,))[1]

@@ -58,16 +58,18 @@ GROUP_HAZARD = 3
 
 @struct.dataclass
 class LayoutPool:
-    """Pre-sampled valid-first-sorted layout pool (device arrays).
+    """Pre-sampled compacted layout pool (device arrays).
 
     The TPU-native equivalent of the reference's 1e6-candidate layout pool
-    (engine.py:261-272,433-452): candidates are vmap-sampled on device, then
-    stable-sorted so the ``n_valid`` valid layouts form a prefix — picking a
-    random layout is a single gather with static shapes, no host filtering.
+    (engine.py:261-272,433-452): candidates are vmap-sampled on device,
+    then the first K valid ones are compacted into a static-size table via
+    one searchsorted + gather at build time (no host filtering, no
+    pool-wide sort) — picking a random valid layout during rollout is a
+    single direct row index.
     """
 
-    placed: jnp.ndarray  # (M, n_obj, 2) in sampling order (goal, hazards, robot)
-    n_valid: jnp.ndarray  # () int32
+    placed: jnp.ndarray  # (K, n_obj, 2) in sampling order (goal, hazards, robot)
+    n_valid: jnp.ndarray  # () int32, <= K
 
 
 @struct.dataclass
@@ -235,10 +237,11 @@ class Engine:
         self.viewer = None
         self.renderer = None
 
-        # layout pool sizing: large enough that the valid prefix (~1.5%
-        # acceptance) comfortably exceeds env_num, bounded for memory
+        # layout pool sizing: ~2% of candidates pass the keepout +
+        # robot-goal-separation filters; 64x env_num keeps the valid count
+        # >= env_num with >10 sigma margin while halving sampling cost
         if self.gx_layout_pool is None:
-            self._pool_size = int(min(2 ** 19, max(2 ** 14, self.env_num * 128)))
+            self._pool_size = int(min(2 ** 19, max(2 ** 14, self.env_num * 64)))
         else:
             self._pool_size = int(self.gx_layout_pool)
         self._pool = None
@@ -346,53 +349,58 @@ class Engine:
     def sample_layout_once(self, rng):
         """One whole-layout attempt (reference sample_layout, engine.py:546-572).
 
-        Vectorized: all 10 tries per object are drawn at once; objects are
-        placed by a lax.scan carrying the placed-so-far table (keeps the
-        compiled program small — an unrolled 10x10 loop nest blows up TPU
-        compile time). Semantics match the reference: the LAST valid try
-        wins; the layout fails if any object found no valid try.
-
         Returns (positions (n_obj, 2) in sampling order, success flag, rng).
+        """
+        rng, sub = jax.random.split(rng)
+        n = len(self._sample_order)
+        u = jax.random.uniform(sub, (n, self.N_PLACE_TRIES, 2))
+        placed, success = self._layout_from_uniform(u)
+        return placed, success, rng
+
+    def _layout_from_uniform(self, u):
+        """Layout attempt from pre-drawn unit-square tries (n_obj, T, 2).
+
+        The object loop is a static Python unroll: every placed-so-far
+        update is a static-index stack, so under the pool's vmap this
+        compiles to dense batched ops. (A lax.scan carrying the placed
+        table needs dynamic_update_slice, which vmap turns into a scatter
+        over the whole candidate pool — the dominant cost of pool
+        generation on TPU.) Semantics match the reference: the LAST valid
+        try wins; the layout fails if any object found no valid try.
         """
         rects, keepouts = self._layout_static()
         n = len(self._sample_order)
         T = self.N_PLACE_TRIES
-        rng, sub = jax.random.split(rng)
-        u = jax.random.uniform(sub, (n, T, 2))  # all tries, unit square
         lo = rects[:, None, 0:2]
         hi = rects[:, None, 2:4]
         tries = lo + u * (hi - lo)  # (n, T, 2)
         margin = self.placements_margin
 
-        def place(carry, xs):
-            placed, success, i = carry
-            obj_tries, keepout = xs  # (T, 2), ()
-            # (T, n) distances to already-placed objects (-inf rows inert)
-            d = jnp.linalg.norm(
-                placed[None, :, :] - obj_tries[:, None, :], axis=-1
-            )
-            d = jnp.where(jnp.isfinite(d), d, jnp.inf)
-            thresh = keepouts + margin + keepout  # (n,)
-            valid = jnp.all(d >= thresh[None, :], axis=-1)  # (T,)
+        placed_rows = []
+        success = jnp.float32(1.0)
+        for i in range(n):
+            obj_tries = tries[i]  # (T, 2), static index
+            if placed_rows:
+                prev = jnp.stack(placed_rows)  # (i, 2)
+                d = jnp.linalg.norm(
+                    prev[None, :, :] - obj_tries[:, None, :], axis=-1
+                )  # (T, i)
+                thresh = keepouts[:i] + margin + keepouts[i]
+                valid = jnp.all(d >= thresh[None, :], axis=-1)  # (T,)
+            else:
+                valid = jnp.ones((T,), dtype=bool)
             any_valid = jnp.any(valid)
             # last valid try wins (reference overwrites xy on each valid try)
-            idx_rev = jnp.argmax(valid[::-1])
-            idx = T - 1 - idx_rev
+            idx = T - 1 - jnp.argmax(valid[::-1])
             xy = jnp.where(any_valid, obj_tries[idx], -jnp.inf)
-            placed = jax.lax.dynamic_update_slice(placed, xy[None, :], (i, 0))
+            placed_rows.append(xy)
             success = jnp.where(any_valid, success, 0.0)
-            return (placed, success, i + 1), None
-
-        placed0 = jnp.full((n, 2), -jnp.inf, dtype=jnp.float32)
-        (placed, success, _), _ = jax.lax.scan(
-            place, (placed0, jnp.float32(1.0), jnp.int32(0)),
-            (tries, keepouts),
-        )
+        placed = jnp.stack(placed_rows)  # (n, 2)
         # robot-goal separation >= 3 (engine.py:570-571)
         if 'goal' in self.placements:
             dist_rg = jnp.linalg.norm(placed[0] - placed[-1])
             success = jnp.where(dist_rg < 3.0, 0.0, success)
-        return placed, success, rng
+        return placed, success
 
     def _split_placed(self, placed):
         """(n_obj, 2) sampling-order table -> layout dict."""
@@ -411,17 +419,31 @@ class Engine:
         front (the reference's reset_layout, engine.py:433-444, without the
         host round-trip: ~1.5% of candidates pass the keepout + robot-goal
         separation filters, same acceptance rate as the reference's)."""
-        keys = jax.random.split(rng, self._pool_size)
-        placed, success, _ = jax.vmap(self.sample_layout_once)(keys)
-        order = jnp.argsort(-success, stable=True)  # valid-first, stable
-        return LayoutPool(
-            placed=placed[order],
-            n_valid=jnp.sum(success).astype(jnp.int32),
+        # one bulk uniform draw for the whole pool — splitting one PRNG key
+        # per candidate costs more than the rejection logic itself at 2^19
+        # candidates
+        n = len(self._sample_order)
+        u = jax.random.uniform(
+            rng, (self._pool_size, n, self.N_PLACE_TRIES, 2)
         )
+        placed, success = jax.vmap(self._layout_from_uniform)(u)
+        cum = jnp.cumsum(success.astype(jnp.int32))
+        K = self._pool_compact_size()
+        # positions of the 1st..Kth valid candidates (clamped when fewer)
+        pos = jnp.searchsorted(cum, jnp.arange(1, K + 1), side='left')
+        pos = jnp.minimum(pos, cum.shape[0] - 1)
+        return LayoutPool(
+            placed=placed[pos],
+            n_valid=jnp.minimum(cum[-1], K),
+        )
+
+    def _pool_compact_size(self) -> int:
+        """Static size of the compacted valid-layout table."""
+        return int(min(self._pool_size, max(1024, self.env_num * 2)))
 
     def pick_layout(self, pool: LayoutPool, rng):
         """Uniformly pick one valid layout (reference get_layout,
-        engine.py:446-452)."""
+        engine.py:446-452) — a direct row index into the compact table."""
         hi = jnp.maximum(pool.n_valid, 1)
         idx = jax.random.randint(rng, (), minval=0, maxval=hi)
         return self._split_placed(pool.placed[idx])
