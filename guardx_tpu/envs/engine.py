@@ -74,11 +74,19 @@ class LayoutPool:
 
 @struct.dataclass
 class EnvState:
-    """Complete per-environment state (one env; vmap over the leading axis)."""
+    """Complete per-environment state (one env; vmap over the leading axis).
+
+    Task-object fields carry a single dummy row when the object family is
+    absent, keeping the pytree structure uniform across tasks."""
 
     data: physics.Data  # robot physics state
     goal_pos: jnp.ndarray  # (2,)
     hazards_pos: jnp.ndarray  # (H, 2) — H=1 dummy row if hazards_num == 0
+    ghosts_pos: jnp.ndarray  # (G, 2) moving hazards (dummy row if none)
+    ghosts_origin: jnp.ndarray  # (G, 2) spawn anchors (travel-radius clamp)
+    robbers_pos: jnp.ndarray  # (R, 2) chase/defense targets (dummy if none)
+    box_pos: jnp.ndarray  # (2,) push object (dummy if task != push)
+    box_vel: jnp.ndarray  # (2,)
     robot_pos_last: jnp.ndarray  # (3,) body origin, previous step
     robot_pos_last_last: jnp.ndarray  # (3,)
     last_done: jnp.ndarray  # ()
@@ -187,6 +195,39 @@ class Engine:
         'hazards_size': 0.3,
         'hazards_cost': 1.0,
 
+        # --- extended GUARD task families (gx extension) ----------------
+        # The reference registry carries Ghost/Push/Chase/Defense configs
+        # but its engine rejects their keys (SURVEY.md §1 L4 — legacy-GUARD
+        # carryovers with no implementation anywhere in the repo). Here
+        # they are implemented as pure state updates.
+        'observe_ghosts': False,
+        'constrain_ghosts': False,
+        'ghosts_num': 0,
+        'ghosts_placements': None,
+        'ghosts_locations': [],
+        'ghosts_keepout': 0.4,
+        'ghosts_size': 0.3,
+        'ghosts_travel': 2.5,       # roam radius around the spawn point
+        'ghosts_safe_dist': 1.5,    # stop approaching inside this distance
+        'ghosts_velocity': 0.01,    # chase speed (distance per control step)
+
+        'observe_robbers': False,
+        'robbers_num': 0,
+        'robbers_placements': None,
+        'robbers_locations': [],
+        'robbers_keepout': 0.4,
+        'robbers_size': 0.3,
+        'robbers_velocity': 0.01,   # flee/approach speed per control step
+
+        'observe_box_comp': False,
+        'box_size': 0.25,
+        'box_keepout': 0.5,
+        'box_null_dist': 2.0,
+
+        'continue_goal': False,  # True: goal respawns on reach, no done
+                                 # (original-GUARD semantics; the reference
+                                 # engine always terminates — engine.py:793)
+
         'physics_steps_per_control_step': 1,
         '_seed': 0,
 
@@ -269,12 +310,19 @@ class Engine:
 
     def build_placements_dict(self):
         """Object name -> (placement rect, keepout), in the reference's
-        insertion order: goal, hazards, robot (engine.py:533-544)."""
+        insertion order — goal, task objects, robot (engine.py:533-544),
+        extended with box/ghosts/robbers for the gx task families."""
         placements = {}
-        if self.task in ['goal']:
+        if self.task in ['goal', 'push', 'defense']:
             placements['goal'] = (self.goal_placements, self.goal_keepout)
+        if self.task == 'push':
+            placements['box'] = (None, self.box_keepout)
         for i in range(self.hazards_num):
             placements[f'hazard{i}'] = (self.hazards_placements, self.hazards_keepout)
+        for i in range(self.ghosts_num):
+            placements[f'ghost{i}'] = (self.ghosts_placements, self.ghosts_keepout)
+        for i in range(self.robbers_num):
+            placements[f'robber{i}'] = (self.robbers_placements, self.robbers_keepout)
         placements['robot'] = (self.robot_placements, self.robot_keepout)
         self.placements = placements
         # static per-object keepouts in sampling order
@@ -292,6 +340,12 @@ class Engine:
             d['goal_compass'] = Box(-np.inf, np.inf, (2,))
         if self.observe_hazards:
             d['hazards_lidar'] = Box(0.0, 1.0, (self.lidar_num_bins,))
+        if self.observe_ghosts:
+            d['ghosts_lidar'] = Box(0.0, 1.0, (self.lidar_num_bins,))
+        if self.observe_robbers:
+            d['robbers_lidar'] = Box(0.0, 1.0, (self.lidar_num_bins,))
+        if self.observe_box_comp:
+            d['box_compass'] = Box(-np.inf, np.inf, (2,))
         if self.observe_qpos:
             d['qpos'] = Box(-np.inf, np.inf, (self.robot.nq,))
         if self.observe_qvel:
@@ -403,16 +457,28 @@ class Engine:
         return placed, success
 
     def _split_placed(self, placed):
-        """(n_obj, 2) sampling-order table -> layout dict."""
-        n_haz = self.hazards_num
-        goal = placed[0] if 'goal' in self.placements else jnp.zeros(2)
-        haz0 = 1 if 'goal' in self.placements else 0
-        hazards = (
-            placed[haz0:haz0 + n_haz]
-            if n_haz else jnp.zeros((1, 2), dtype=jnp.float32)
-        )
-        robot = placed[-1]
-        return {'robot': robot, 'goal': goal, 'hazards': hazards}
+        """(n_obj, 2) sampling-order table -> layout dict (static slicing
+        follows build_placements_dict's insertion order)."""
+        i = 0
+        out = {}
+        if 'goal' in self.placements:
+            out['goal'] = placed[i]
+            i += 1
+        else:
+            out['goal'] = jnp.zeros(2, dtype=jnp.float32)
+        if 'box' in self.placements:
+            out['box'] = placed[i]
+            i += 1
+        else:
+            out['box'] = jnp.zeros(2, dtype=jnp.float32)
+        dummy = jnp.zeros((1, 2), dtype=jnp.float32)
+        for name, n in (('hazards', self.hazards_num),
+                        ('ghosts', self.ghosts_num),
+                        ('robbers', self.robbers_num)):
+            out[name] = placed[i:i + n] if n else dummy
+            i += n
+        out['robot'] = placed[-1]
+        return out
 
     def make_layout_pool(self, rng) -> LayoutPool:
         """Sample the candidate pool on device and sort valid layouts to the
@@ -505,6 +571,11 @@ class Engine:
             data=data,
             goal_pos=layout['goal'],
             hazards_pos=layout['hazards'],
+            ghosts_pos=layout['ghosts'],
+            ghosts_origin=layout['ghosts'],
+            robbers_pos=layout['robbers'],
+            box_pos=layout['box'],
+            box_vel=jnp.zeros(2, dtype=jnp.float32),
             robot_pos_last=data.xpos[self.body_robot],
             robot_pos_last_last=data.xpos[self.body_robot],
             last_done=jnp.float32(0.0),
@@ -544,8 +615,14 @@ class Engine:
         )
         mid = state.replace(data=data, **hist)
 
+        # task-object kinematics (ghosts/robbers/push-box are state fields,
+        # not physics bodies): capture pre-update distances for the delta
+        # rewards, then advance the objects
+        prev = self._task_prev(mid, data)
+        mid = self._update_task_objects(mid, data)
+
         flat_obs, obs_dict = self.obs(mid, data)
-        reward, done = self.reward_done(mid, data)
+        reward, done, mid = self.reward_done(mid, data, prev)
         cost = self.cost(mid, data)
 
         # NaN/Inf guards (reference engine.py:696-699)
@@ -592,10 +669,17 @@ class Engine:
 
         settled, _ = jax.lax.scan(f, merged, (), self.physics_steps_per_control_step)
 
-        goal_pos = jnp.where(done > 0.0, layout['goal'], state.goal_pos)
-        hazards_pos = jnp.where(done > 0.0, layout['hazards'], state.hazards_pos)
+        w = done > 0.0
         fresh = state.replace(
-            data=merged, goal_pos=goal_pos, hazards_pos=hazards_pos, rng=rng,
+            data=merged,
+            goal_pos=jnp.where(w, layout['goal'], state.goal_pos),
+            hazards_pos=jnp.where(w, layout['hazards'], state.hazards_pos),
+            ghosts_pos=jnp.where(w, layout['ghosts'], state.ghosts_pos),
+            ghosts_origin=jnp.where(w, layout['ghosts'], state.ghosts_origin),
+            robbers_pos=jnp.where(w, layout['robbers'], state.robbers_pos),
+            box_pos=jnp.where(w, layout['box'], state.box_pos),
+            box_vel=jnp.where(w, jnp.zeros(2, jnp.float32), state.box_vel),
+            rng=rng,
         )
         obs_reset, _ = self.obs(fresh.replace(data=settled), settled)
         flat_obs = jnp.where(done > 0.0, obs_reset, flat_obs)
@@ -610,21 +694,41 @@ class Engine:
         robot_pos = data.xpos[self.body_robot]
         robot_mat = data.xmat[self.body_robot]
         d = {}
+        has_goal = self.task in ('goal', 'push', 'defense')
         if self.observe_goal_lidar:
-            d['goal_lidar'] = obs_mod.obs_lidar_pseudo(
-                state.goal_pos[None, :], robot_pos, robot_mat,
+            d['goal_lidar'] = (
+                obs_mod.obs_lidar_pseudo(
+                    state.goal_pos[None, :], robot_pos, robot_mat,
+                    self.lidar_num_bins, self.lidar_exp_gain,
+                    self.lidar_max_dist, self.lidar_alias,
+                ) if has_goal
+                else jnp.zeros(self.lidar_num_bins, dtype=jnp.float32)
+            )
+        def lidar(positions, n):
+            # empty object families read all-zero lidar (the dummy state
+            # row must not produce a phantom echo at the origin)
+            if not n:
+                return jnp.zeros(self.lidar_num_bins, dtype=jnp.float32)
+            return obs_mod.obs_lidar_pseudo(
+                positions, robot_pos, robot_mat,
                 self.lidar_num_bins, self.lidar_exp_gain,
                 self.lidar_max_dist, self.lidar_alias,
             )
+
         if self.observe_hazards:
-            d['hazards_lidar'] = obs_mod.obs_lidar_pseudo(
-                state.hazards_pos, robot_pos, robot_mat,
-                self.lidar_num_bins, self.lidar_exp_gain,
-                self.lidar_max_dist, self.lidar_alias,
+            d['hazards_lidar'] = lidar(state.hazards_pos, self.hazards_num)
+        if self.observe_ghosts:
+            d['ghosts_lidar'] = lidar(state.ghosts_pos, self.ghosts_num)
+        if self.observe_robbers:
+            d['robbers_lidar'] = lidar(state.robbers_pos, self.robbers_num)
+        if self.observe_box_comp:
+            d['box_compass'] = obs_mod.obs_compass(
+                state.box_pos, robot_pos, robot_mat
             )
         if self.observe_goal_comp:
-            d['goal_compass'] = obs_mod.obs_compass(
-                state.goal_pos, robot_pos, robot_mat
+            d['goal_compass'] = (
+                obs_mod.obs_compass(state.goal_pos, robot_pos, robot_mat)
+                if has_goal else jnp.zeros(2, dtype=jnp.float32)
             )
         if self.observe_qpos:
             d['qpos'] = data.qpos[: self.robot.nq]
@@ -651,9 +755,143 @@ class Engine:
         robot_xy = data.xpos[self.body_robot][:2]
         return jnp.linalg.norm(state.goal_pos - robot_xy)
 
-    def reward_done(self, state: EnvState, data):
-        """Dense Δ(dist-to-goal) reward, goal-reach done, teleport filter
-        (reference reward_done, engine.py:787-802)."""
+    # ---- task-object kinematics (gx extension; pure state updates) ------
+
+    def _task_prev(self, state: EnvState, data):
+        """Pre-update distances consumed by the delta rewards."""
+        robot_xy = data.xpos[self.body_robot][:2]
+        prev = {}
+        if self.task == 'push':
+            prev['d_robot_box'] = jnp.linalg.norm(state.box_pos - robot_xy)
+            prev['d_box_goal'] = jnp.linalg.norm(state.box_pos - state.goal_pos)
+        if self.task == 'chase':
+            prev['d_robot_robbers'] = jnp.min(
+                jnp.linalg.norm(state.robbers_pos - robot_xy[None, :], axis=-1)
+            )
+        if self.task == 'defense':
+            prev['d_robbers_goal'] = jnp.sum(
+                jnp.linalg.norm(
+                    state.robbers_pos - state.goal_pos[None, :], axis=-1
+                )
+            )
+        return prev
+
+    def _update_task_objects(self, state: EnvState, data):
+        """Advance ghosts (chase the robot, roam-clamped), robbers (flee in
+        chase, attack the goal in defense), and the push box (kinematic
+        contact with the robot disc)."""
+        robot_xy = data.xpos[self.body_robot][:2]
+        s = state
+        if self.ghosts_num:
+            rel = robot_xy[None, :] - s.ghosts_pos  # (G, 2)
+            d = jnp.linalg.norm(rel, axis=-1, keepdims=True)
+            dirn = rel / (d + 1e-8)
+            # approach the robot outside safe_dist, retreat inside it
+            step = jnp.where(d > self.ghosts_safe_dist,
+                             self.ghosts_velocity, -self.ghosts_velocity)
+            new = s.ghosts_pos + step * dirn
+            off = new - s.ghosts_origin
+            r = jnp.linalg.norm(off, axis=-1, keepdims=True)
+            scale = jnp.minimum(1.0, self.ghosts_travel / (r + 1e-8))
+            s = s.replace(ghosts_pos=s.ghosts_origin + off * scale)
+        if self.robbers_num:
+            rel_r = s.robbers_pos - robot_xy[None, :]
+            d_r = jnp.linalg.norm(rel_r, axis=-1, keepdims=True)
+            flee = rel_r / (d_r + 1e-8)
+            if self.task == 'defense':
+                to_goal = s.goal_pos[None, :] - s.robbers_pos
+                d_g = jnp.linalg.norm(to_goal, axis=-1, keepdims=True)
+                attack = to_goal / (d_g + 1e-8)
+                dirn = jnp.where(d_r < 1.0, flee, attack)
+            else:
+                dirn = flee
+            new = s.robbers_pos + self.robbers_velocity * dirn
+            xmin, ymin, xmax, ymax = self.placements_extents
+            new = jnp.clip(new, jnp.array([xmin, ymin]), jnp.array([xmax, ymax]))
+            s = s.replace(robbers_pos=new)
+        if self.task == 'push':
+            contact_r = self.box_size + 0.2  # + nominal robot disc radius
+            rel = s.box_pos - robot_xy
+            d = jnp.linalg.norm(rel)
+            n = rel / (d + 1e-8)
+            robot_vel = (robot_xy - s.robot_pos_last[:2]) / self.dt
+            push_speed = jnp.maximum(jnp.dot(robot_vel, n), 0.0)
+            in_contact = d < contact_r
+            vel = jnp.where(in_contact, n * push_speed, s.box_vel * 0.95)
+            new_pos = s.box_pos + vel * self.dt
+            # positional de-penetration along the contact normal
+            pen = jnp.maximum(
+                contact_r - jnp.linalg.norm(new_pos - robot_xy), 0.0
+            )
+            new_pos = new_pos + n * pen * in_contact
+            s = s.replace(box_pos=new_pos, box_vel=vel)
+        return s
+
+    def _respawn_goal(self, state: EnvState, rng):
+        """Sample a fresh goal for continue_goal mode: a few uniform tries
+        in the goal rect, last try clear of hazards + robot wins (bounded,
+        branch-free — the full-layout resampler needs the pool)."""
+        T = self.N_PLACE_TRIES
+        rect = self._constrained_rect(self.goal_placements, self.goal_keepout)
+        u = jax.random.uniform(rng, (T, 2))
+        lo = jnp.array(rect[:2])
+        hi = jnp.array(rect[2:])
+        tries = lo + u * (hi - lo)  # (T, 2)
+        d_h = jnp.linalg.norm(
+            tries[:, None, :] - state.hazards_pos[None, :, :], axis=-1
+        )
+        ok_h = jnp.all(d_h >= self.hazards_keepout + self.goal_keepout, axis=-1)
+        robot_xy = state.data.xpos[self.body_robot][:2]
+        ok_r = jnp.linalg.norm(tries - robot_xy[None, :], axis=-1) >= \
+            self.goal_keepout + self.robot_keepout
+        valid = jnp.logical_and(ok_h, ok_r)
+        idx = jnp.where(jnp.any(valid), T - 1 - jnp.argmax(valid[::-1]), 0)
+        return tries[idx]
+
+    # ---- reward / done / cost -------------------------------------------
+
+    def reward_done(self, state: EnvState, data, prev=None):
+        """Per-task reward + termination.
+
+        goal: dense Δ(dist-to-goal), done on reach (or goal respawn +
+        reward_goal bonus under continue_goal), teleport filter
+        (reference reward_done, engine.py:787-802). push/chase/defense are
+        gx extensions (the reference has no implementation): push rewards
+        Δ(robot→box) + Δ(box→goal) and ends when the box reaches the goal;
+        chase rewards closing on the nearest fleeing robber and ends on a
+        catch; defense rewards pushing robbers away from the goal and ends
+        (failure) when a robber reaches it."""
+        robot_xy = data.xpos[self.body_robot][:2]
+        if self.task == 'push':
+            d_rb = jnp.linalg.norm(state.box_pos - robot_xy)
+            d_bg = jnp.linalg.norm(state.box_pos - state.goal_pos)
+            reward = (
+                self.reward_box_dist * (prev['d_robot_box'] - d_rb)
+                + self.reward_box_goal * (prev['d_box_goal'] - d_bg)
+            )
+            done = jnp.where(d_bg < self.goal_size, 1.0, 0.0)
+            reward = reward + done * self.reward_goal
+            return reward, done, state
+        if self.task == 'chase':
+            d = jnp.min(jnp.linalg.norm(
+                state.robbers_pos - robot_xy[None, :], axis=-1
+            ))
+            reward = self.reward_chase * (prev['d_robot_robbers'] - d)
+            done = jnp.where(d < self.robbers_size, 1.0, 0.0)
+            reward = reward + done * self.reward_goal
+            return reward, done, state
+        if self.task == 'defense':
+            d_sum = jnp.sum(jnp.linalg.norm(
+                state.robbers_pos - state.goal_pos[None, :], axis=-1
+            ))
+            reward = self.reward_defense * (d_sum - prev['d_robbers_goal'])
+            breached = jnp.min(jnp.linalg.norm(
+                state.robbers_pos - state.goal_pos[None, :], axis=-1
+            )) < self.goal_size
+            done = jnp.where(breached, 1.0, 0.0)
+            return reward, done, state
+
+        # goal task (reference semantics)
         dist_goal = self.goal_dist(state, data)
         last_robot_xy = state.robot_pos_last[:2]
         last_dist_goal = jnp.linalg.norm(state.goal_pos - last_robot_xy)
@@ -662,21 +900,36 @@ class Engine:
         )
         d_dist = last_dist_goal - dist_goal
         reward = d_dist * self.reward_distance
-        done = jnp.where(dist_goal < self.goal_size, 1.0, 0.0)
+        reached = dist_goal < self.goal_size
+        if self.continue_goal:
+            rng, sub = jax.random.split(state.rng)
+            new_goal = self._respawn_goal(state, sub)
+            goal_pos = jnp.where(reached, new_goal, state.goal_pos)
+            state = state.replace(goal_pos=goal_pos, rng=rng)
+            reward = reward + reached * self.reward_goal
+            done = jnp.float32(0.0)
+        else:
+            done = jnp.where(reached, 1.0, 0.0)
         done = jnp.where(jnp.abs(d_dist) > 1.0, 1.0, done)
         reward = jnp.where(jnp.abs(d_dist) > 1.0, 0.0, reward)
-        return reward, done
+        return reward, done, state
 
     def cost(self, state: EnvState, data):
-        """Dense hinge cost: sum over hazards of max(0, size - dist)
-        (reference cost, engine.py:804-811 — always dense; the
-        constrain_indicator flag is ignored there too)."""
+        """Dense hinge cost: sum over hazards (and ghosts when constrained)
+        of max(0, size - dist) (reference cost, engine.py:804-811 — always
+        dense; the constrain_indicator flag is ignored there too)."""
         robot_xy = data.xpos[self.body_robot][:2]
-        d = jnp.linalg.norm(state.hazards_pos - robot_xy[None, :], axis=-1)
-        below = jnp.minimum(d, self.hazards_size)
-        c = jnp.sum(self.hazards_size - below)
-        if not self.hazards_num:
-            c = jnp.float32(0.0)
+        c = jnp.float32(0.0)
+        # hazards cost is unconditional in the reference (engine.py:804-811
+        # never checks constrain_hazards)
+        if self.hazards_num:
+            d = jnp.linalg.norm(state.hazards_pos - robot_xy[None, :], axis=-1)
+            below = jnp.minimum(d, self.hazards_size)
+            c = c + jnp.sum(self.hazards_size - below)
+        if self.ghosts_num and self.constrain_ghosts:
+            d = jnp.linalg.norm(state.ghosts_pos - robot_xy[None, :], axis=-1)
+            below = jnp.minimum(d, self.ghosts_size)
+            c = c + jnp.sum(self.ghosts_size - below)
         return c
 
     # ------------------------------------------------------------------
@@ -775,7 +1028,20 @@ class Engine:
             for hz in hazards:
                 ax.add_patch(Circle(hz, self.hazards_size, color='#3355cc',
                                     alpha=0.5))
-        ax.add_patch(Circle(goal, self.goal_size, color='#33aa33', alpha=0.5))
+        if self.ghosts_num:
+            for gp in np.asarray(state.ghosts_pos[env_idx]):
+                ax.add_patch(Circle(gp, self.ghosts_size, color='#9944cc',
+                                    alpha=0.5))
+        if self.robbers_num:
+            for rp in np.asarray(state.robbers_pos[env_idx]):
+                ax.add_patch(Circle(rp, self.robbers_size, color='#dd8822',
+                                    alpha=0.7))
+        if self.task == 'push':
+            ax.add_patch(Circle(np.asarray(state.box_pos[env_idx]),
+                                self.box_size, color='#885522', alpha=0.8))
+        if self.task in ('goal', 'push', 'defense'):
+            ax.add_patch(Circle(goal, self.goal_size, color='#33aa33',
+                                alpha=0.5))
         ax.add_patch(Circle(robot[:2], 0.1, color='#cc3333'))
         heading = mat @ np.array([0.3, 0.0, 0.0])
         ax.arrow(robot[0], robot[1], heading[0], heading[1],

@@ -96,6 +96,12 @@ def _guard_config(task: str, robot: str, constraint: str) -> dict:
         config['ghosts_size'] = 0.3
         config['ghosts_travel'] = 2.5
         config['ghosts_safe_dist'] = 1.5
+        # the Engine DEFAULT carries 8 hazards (reference engine.py:195);
+        # ghost tasks replace hazards, they don't add to them — without
+        # this override 17 keepout-constrained objects make every layout
+        # infeasible (the reference registry omits it because its engine
+        # never constructed ghost configs at all)
+        config['hazards_num'] = 0
 
     sensors = ROBOT_SENSORS[robot]
     if sensors is not None:

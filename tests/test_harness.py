@@ -51,15 +51,20 @@ def test_compositional_parser():
     assert c2['hazards_num'] == 2 and c2['continue_goal'] is True
 
 
-def test_create_env_constructibility_parity():
+def test_create_env_constructibility():
     env = create_env(Args(task='Goal_Point_8Hazards', env_num=2, seed=0,
                           max_ep_len=8))
     assert env.env_num == 2 and env.num_steps == 8
-    # Ghost/Push/Chase configs carry legacy keys the Engine rejects, as in
-    # the reference (SURVEY.md §1 L4)
+    # beyond-reference: Ghost/Push/Chase/Defense families construct here
+    # (the reference engine rejects their keys — SURVEY.md §1 L4; full
+    # behavioral coverage in tests/test_task_families.py)
+    env = create_env(Args(task='Goal_Point_8Ghosts', env_num=2, seed=0,
+                          max_ep_len=8))
+    assert env.ghosts_num == 8 and env.hazards_num == 0
+    # genuinely unknown keys still fail the strict parse
     with pytest.raises(AssertionError):
-        create_env(Args(task='Goal_Point_8Ghosts', env_num=2, seed=0,
-                        max_ep_len=8))
+        Engine_ = type(env)
+        Engine_({'definitely_not_a_key': 1})
 
 
 # ---------------------------------------------------------------------------
