@@ -246,6 +246,9 @@ class Engine:
         'ant.xml': 12,
         'walker.xml': 4,
         'doggo.xml': 2,
+        'hopper.xml': 4,
+        'humanoid.xml': 4,
+        'drone.xml': 2,
     }
 
     def __init__(self, config={}):
