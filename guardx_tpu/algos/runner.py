@@ -218,8 +218,10 @@ class Trainer:
         done = batch['done']
         # timeout: epoch end finishes every path with zero bootstrap
         done_gae = done.at[-1, :].set(1.0)
-        adv, ret = buffer.gae(batch['rew'], batch['val'], done_gae, gamma, lam)
-        adc, cret = buffer.gae(batch['cost'], batch['vc'], done_gae, gamma, lam)
+        from guardx_tpu.ops.gae_scan import gae_auto
+
+        adv, ret = gae_auto(batch['rew'], batch['val'], done_gae, gamma, lam)
+        adc, cret = gae_auto(batch['cost'], batch['vc'], done_gae, gamma, lam)
 
         if algo.one_episode:
             valid = buffer.one_episode_mask(done)

@@ -23,7 +23,6 @@ import functools
 import jax
 
 _einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
-from jax.scipy.linalg import cho_solve
 
 from guardx_tpu.physics.model import Model
 
@@ -36,9 +35,10 @@ def contact_force(model: Model, qvel, xpos, xmat, S, origin, chol, h):
       xpos/xmat: body frames from FK
       S: (nv, 6) dof motion subspaces (tree-root-origin spatial coords)
       origin: (nbody, 3) per-body tree-root reference position
-      chol: cholesky factorization of (M + h*D) from the pipeline
+      chol: (factor, solve_fn) for (M + h*D) from pipeline._spd_factor
       h: substep timestep (used only for scaling stability clamp)
     """
+    chol, solve = chol
     if model.ncontact == 0:
         return jnp.zeros(model.nv, dtype=qvel.dtype)
 
@@ -64,7 +64,7 @@ def contact_force(model: Model, qvel, xpos, xmat, S, origin, chol, h):
 
     # effective inertia of the normal direction per contact
     Jn = Jc[:, :, 2]  # (nc, nv)
-    MinvJn = cho_solve(chol, Jn.T)  # (nv, nc)
+    MinvJn = solve(chol, Jn.T)  # (nv, nc)
     w = _einsum("cv,vc->c", Jn, MinvJn)  # J M^-1 J^T diagonal
     # regularize by the inverse total mass: when the normal direction is
     # kinematically locked (w -> 0, e.g. the point robot has no vertical

@@ -19,8 +19,18 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import cho_factor, cho_solve
 
+from guardx_tpu.ops import tiny_chol
 from guardx_tpu.physics import collision, dynamics, kinematics
 from guardx_tpu.physics.model import Model, Data
+
+
+def _spd_factor(model: Model, Mh):
+    """Factor (M + hD). For GUARD-sized nv the unrolled Cholesky
+    (guardx_tpu.ops.tiny_chol) turns the batched solve into fused VPU
+    elementwise code; XLA's blocked cho_factor only wins at large nv."""
+    if model.nv <= tiny_chol.MAX_UNROLL_N:
+        return tiny_chol.chol_tiny(Mh), tiny_chol.chol_solve_tiny
+    return cho_factor(Mh), cho_solve
 
 
 def _smooth_dynamics(model: Model, qpos, qvel, ctrl, h):
@@ -29,17 +39,17 @@ def _smooth_dynamics(model: Model, qpos, qvel, ctrl, h):
     M, bias = dynamics.mass_bias(model, qvel, xmat, xipos, xquat, S, origin)
     # implicit damping: fold h*D into the LHS
     Mh = M + h * jnp.diag(model.dof_damping)
-    chol = cho_factor(Mh)
+    chol, solve = _spd_factor(model, Mh)
 
     tau = dynamics.actuator_force(model, ctrl)
     tau = tau + dynamics.passive_force(model, qpos, qvel)
     tau = tau + dynamics.limit_force(model, qpos, qvel, jnp.diag(M), h)
     tau = tau + collision.contact_force(
-        model, qvel, xpos, xmat, S, origin, chol, h
+        model, qvel, xpos, xmat, S, origin, (chol, solve), h
     )
 
     rhs = tau - bias - model.dof_damping * qvel
-    qacc = cho_solve(chol, rhs)
+    qacc = solve(chol, rhs)
     return qacc, (xpos, xquat, xmat, xipos)
 
 
