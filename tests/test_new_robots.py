@@ -16,7 +16,7 @@ from guardx_tpu.envs import Engine
 from guardx_tpu.envs.registry import configuration
 
 
-ROBOTS = ["hopper", "humanoid", "drone"]
+ROBOTS = ["hopper", "humanoid", "drone", "arm3", "arm6"]
 
 
 @pytest.fixture(scope="module", params=ROBOTS)
@@ -31,7 +31,8 @@ def env(request):
 
 def test_registry_names_resolve():
     for name in ["Goal_Hopper_8Hazards", "Goal_Humanoid_8Hazards",
-                 "Goal_Drone_8Hazards"]:
+                 "Goal_Drone_8Hazards", "Goal_Arm3_8Hazards",
+                 "Goal_Arm6_8Hazards"]:
         cfg = configuration(name)
         assert cfg["robot_base"].endswith(
             name.split("_")[1].lower() + ".xml"
