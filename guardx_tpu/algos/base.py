@@ -146,12 +146,37 @@ def pi_diagnostics(nets: Networks, params, data):
     return approx_kl, ent
 
 
+def _critic_bf16() -> bool:
+    """Mixed-precision critic fitting on TPU (GUARDX_CRITIC_COMPUTE=f32 to
+    disable). The fit is HBM-bound — 2 x 80 full-batch fwd+bwd sweeps of the
+    (B*T, O) observation matrix dominate the whole CPO epoch at suite scale
+    — so the network compute runs in bf16 (params, Adam state, and the MSE
+    reduction stay f32). The reference's torch path runs TF32 matmuls on
+    Ampere GPUs by default, i.e. reduced-precision critic matmuls match the
+    reference's effective numerics."""
+    import os
+
+    mode = os.environ.get('GUARDX_CRITIC_COMPUTE')
+    if mode:
+        return mode == 'bf16'
+    return jax.default_backend() == 'tpu'
+
+
 def fit_critic(apply_fn, params, opt: optax.GradientTransformation, opt_state,
                obs, target, iters: int, w):
     """`iters` full-batch Adam steps on the MSE (cpo.py:563-576)."""
+    if _critic_bf16():
+        obs_c = obs.astype(jnp.bfloat16)
 
-    def loss_fn(p):
-        return wmean((apply_fn(p, obs) - target) ** 2, w)
+        def loss_fn(p):
+            p16 = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16), p
+            )
+            pred = apply_fn(p16, obs_c).astype(jnp.float32)
+            return wmean((pred - target) ** 2, w)
+    else:
+        def loss_fn(p):
+            return wmean((apply_fn(p, obs) - target) ** 2, w)
 
     def body(_, carry):
         p, s = carry

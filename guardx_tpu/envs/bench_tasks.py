@@ -1,0 +1,299 @@
+"""TPU-native benchmark (non-safety) tasks.
+
+The reference satisfies non-safety benchmark workloads by consuming the
+vendored NVIDIA IsaacGymEnvs suite through ``isaacgymenvs.make``
+(reference: train.py:7-14, safe_rl_libX/guard_utils/
+safe_rl_env_config.py:2597-2626) — an external PhysX binary that cannot
+exist on a TPU host. This module implements the classic benchmark tasks
+natively on the guardx_tpu physics engine, behind the exact surface the
+trainers consume (functional reset/step/reset_done + ``info['cost']`` ≡ 0,
+matching IsaacGymWrapper's zero-cost padding at
+safe_rl_env_config.py:2640-2644), so the corresponding registry names run
+on TPU with no external dependency:
+
+    Cartpole    — cart/pole balance        (IsaacGymEnvs tasks/cartpole.py)
+    Ant         — quadruped locomotion     (IsaacGymEnvs tasks/ant.py)
+    Humanoid    — biped locomotion         (IsaacGymEnvs tasks/humanoid.py)
+    Anymal      — quadruped locomotion     (IsaacGymEnvs tasks/anymal.py;
+                                            doggo morphology)
+    Quadcopter  — hover-to-target          (IsaacGymEnvs tasks/quadcopter.py)
+
+Tasks needing non-floor contacts or vendored meshes (ShadowHand, Allegro*,
+Trifinger, Franka*, BallBalance's tray) remain adapter-only
+(guardx_tpu.envs.wrappers) — the physics engine's contact model is
+floor-plane-only (physics/collision.py).
+
+The reward structures follow the IsaacGym task definitions (progress +
+alive - energy for locomotion; angle/velocity penalties for cartpole;
+inverse-distance hover for quadcopter) re-derived for these robot models;
+no reference code is copied.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+import mujoco
+
+from guardx_tpu import physics
+from guardx_tpu.envs.world import BASE_DIR
+from guardx_tpu.envs.engine import LayoutPool
+from guardx_tpu.utils.spaces import Box
+
+
+@struct.dataclass
+class BenchState:
+    """Per-environment state for a benchmark task (vmap the leading axis)."""
+
+    data: physics.Data
+    target: jnp.ndarray  # (3,) task target point (quadcopter; zeros otherwise)
+    steps: jnp.ndarray  # () int32
+    rng: jnp.ndarray
+
+
+class _TaskSpec:
+    def __init__(self, xml, reset_noise=0.05, z_lo=None, z_hi=None,
+                 forward_scale=1.0, alive_bonus=0.5, energy_cost=0.005,
+                 kind='locomotion'):
+        self.xml = xml
+        self.reset_noise = reset_noise
+        self.z_lo, self.z_hi = z_lo, z_hi
+        self.forward_scale = forward_scale
+        self.alive_bonus = alive_bonus
+        self.energy_cost = energy_cost
+        self.kind = kind
+
+
+TASKS = {
+    # fall thresholds as fractions of the standing root height
+    'Cartpole': _TaskSpec('cartpole.xml', reset_noise=0.08, kind='cartpole'),
+    'Ant': _TaskSpec('ant.xml', z_lo=0.26, z_hi=2.0),
+    'Humanoid': _TaskSpec('humanoid.xml', z_lo=0.8, z_hi=2.5,
+                          alive_bonus=2.0, energy_cost=0.003),
+    'Anymal': _TaskSpec('doggo.xml', z_lo=0.12, z_hi=1.0),
+    'Quadcopter': _TaskSpec('drone.xml', kind='hover'),
+}
+
+CARTPOLE_RESET_DIST = 3.0
+
+
+class NativeBenchEngine:
+    """Batched benchmark env with the Engine surface the Trainer binds to:
+    ``make_layout_pool`` / ``reset_single`` / ``step_single`` /
+    ``reset_done_single`` plus the stateful gym-flavored batch API."""
+
+    def __init__(self, task_name: str, env_num: int = 1, num_steps: int = 500,
+                 seed: int = 0):
+        if task_name not in TASKS:
+            raise ValueError(
+                f"no native implementation for '{task_name}'; native tasks: "
+                f"{sorted(TASKS)} (others need the IsaacGym adapter)"
+            )
+        self.task_name = task_name
+        self.spec = spec = TASKS[task_name]
+        self.env_num = env_num
+        self.num_steps = num_steps
+        self._seed = seed
+
+        self.mj_model = mujoco.MjModel.from_xml_path(
+            os.path.join(BASE_DIR, spec.xml)
+        )
+        from guardx_tpu.envs.engine import Engine
+
+        substeps = Engine.ROBOT_SUBSTEPS.get(spec.xml, 4)
+        self.model, self.meta = physics.load_model(
+            self.mj_model, substeps=substeps
+        )
+        self.body_robot = self.meta['body_name2id']['robot']
+        self.dt = self.model.timestep
+
+        self._free = 'robot' in self.meta['jnt_name2qposadr']
+        self._qpos0 = jnp.asarray(self.mj_model.qpos0, dtype=jnp.float32)
+
+        self.obs_flat_size = self._obs_size()
+        self.observation_space = Box(
+            -np.inf, np.inf, (self.obs_flat_size,), np.float32
+        )
+        nu = self.model.nu
+        self.action_space = Box(-1.0, 1.0, (nu,), np.float32)
+
+        self._key = jax.random.PRNGKey(seed)
+        self._state = None
+        self._obs = None
+
+        self._make_pool = jax.jit(self.make_layout_pool)
+        self._reset = jax.jit(jax.vmap(self.reset_single, in_axes=(0, None)))
+        self._step = jax.jit(jax.vmap(self.step_single))
+        self._reset_done = jax.jit(
+            jax.vmap(self.reset_done_single, in_axes=(0, 0, 0, None))
+        )
+
+    # -- layout-pool protocol (no layouts to sample: a unit dummy pool) ----
+
+    def make_layout_pool(self, rng) -> LayoutPool:
+        return LayoutPool(
+            placed=jnp.zeros((1, 1, 2), jnp.float32),
+            n_valid=jnp.int32(1),
+        )
+
+    # -- observations ------------------------------------------------------
+
+    def _obs_size(self):
+        if self.spec.kind == 'cartpole':
+            return 4
+        if self.spec.kind == 'hover':
+            # pos error (3), yaw sin/cos (2), qvel (nv)
+            return 5 + self.model.nv
+        # locomotion: qpos minus root xy, full qvel
+        return (self.model.nq - 2) + self.model.nv
+
+    def _observe(self, state: BenchState):
+        qpos, qvel = state.data.qpos, state.data.qvel
+        if self.spec.kind == 'cartpole':
+            return jnp.stack([qpos[0], qvel[0], qpos[1], qvel[1]])
+        if self.spec.kind == 'hover':
+            pos = jnp.stack([qpos[0], qpos[1], qpos[2]])
+            yaw = qpos[3]
+            return jnp.concatenate([
+                state.target - pos, jnp.stack([jnp.sin(yaw), jnp.cos(yaw)]),
+                qvel,
+            ])
+        return jnp.concatenate([qpos[2:], qvel])
+
+    # -- reward/done -------------------------------------------------------
+
+    def _reward_done(self, state: BenchState, action):
+        qpos, qvel = state.data.qpos, state.data.qvel
+        spec = self.spec
+        if spec.kind == 'cartpole':
+            # IsaacGymEnvs cartpole.py compute_cartpole_reward semantics:
+            # upright bonus minus velocity penalties; hard reset (reward -2)
+            # when the cart leaves the rail or the pole passes horizontal
+            x, th = qpos[0], qpos[1]
+            reward = (1.0 - th * th - 0.01 * jnp.abs(qvel[0])
+                      - 0.005 * jnp.abs(qvel[1]))
+            fell = jnp.logical_or(
+                jnp.abs(x) > CARTPOLE_RESET_DIST, jnp.abs(th) > jnp.pi / 2
+            )
+            reward = jnp.where(fell, -2.0, reward)
+            return reward, fell.astype(jnp.float32)
+        if spec.kind == 'hover':
+            pos = jnp.stack([qpos[0], qpos[1], qpos[2]])
+            dist2 = jnp.sum((state.target - pos) ** 2)
+            pos_reward = 1.0 / (1.0 + dist2)
+            spin = qvel[3]
+            spin_reward = 0.1 / (1.0 + spin * spin)
+            reward = pos_reward * (1.0 + spin_reward)
+            done = (dist2 > 64.0).astype(jnp.float32)
+            return reward, done
+        # locomotion: forward progress + alive - energy (IsaacGym ant.py /
+        # humanoid.py potentials shape, flat-ground special case)
+        vx = qvel[0]
+        reward = (spec.forward_scale * vx + spec.alive_bonus
+                  - spec.energy_cost * jnp.sum(action ** 2))
+        z = qpos[2]
+        fell = jnp.logical_or(z < spec.z_lo, z > spec.z_hi)
+        return reward, fell.astype(jnp.float32)
+
+    # -- functional single-env API ------------------------------------------
+
+    def _fresh(self, rng):
+        rng, k_q, k_v, k_t = jax.random.split(rng, 4)
+        noise = self.spec.reset_noise
+        qpos = self._qpos0 + noise * jax.random.uniform(
+            k_q, (self.model.nq,), minval=-1.0, maxval=1.0
+        )
+        if self._free:
+            # keep the root quaternion exactly upright at reset
+            adr = self.meta['jnt_name2qposadr']['robot']
+            qpos = qpos.at[adr:adr + 2].set(0.0)
+            qpos = qpos.at[adr + 2].set(self._qpos0[adr + 2])
+            quat0 = jnp.zeros(4, jnp.float32).at[0].set(1.0)
+            qpos = jax.lax.dynamic_update_slice(qpos, quat0, (adr + 3,))
+        qvel = 0.1 * noise * jax.random.uniform(
+            k_v, (self.model.nv,), minval=-1.0, maxval=1.0
+        )
+        if self.spec.kind == 'hover':
+            target = jax.random.uniform(
+                k_t, (3,), minval=jnp.array([-2.0, -2.0, 1.0]),
+                maxval=jnp.array([2.0, 2.0, 2.5]),
+            )
+        else:
+            target = jnp.zeros(3, jnp.float32)
+        data = physics.make_data(self.model)
+        data = data.replace(
+            qpos=qpos, qvel=qvel,
+            ctrl=jnp.zeros(self.model.nu, jnp.float32),
+        )
+        data = physics.forward(self.model, data)
+        return BenchState(
+            data=data, target=target, steps=jnp.int32(0), rng=rng
+        )
+
+    def reset_single(self, rng, pool: LayoutPool):
+        state = self._fresh(rng)
+        return self._observe(state), state
+
+    def step_single(self, state: BenchState, action):
+        data = state.data.replace(ctrl=action)
+        data = physics.step(self.model, data)
+        mid = state.replace(data=data)
+
+        obs = self._observe(mid)
+        reward, done = self._reward_done(mid, action)
+
+        bad = jnp.logical_or(jnp.isnan(obs).any(), jnp.isinf(obs).any())
+        reward = jnp.where(bad, 0.0, reward)
+        done = jnp.where(bad, 1.0, done)
+
+        done = jnp.where(mid.steps > self.num_steps, 1.0, done)
+        steps = jnp.where(done > 0.0, 0, mid.steps + 1)
+        rng, _ = jax.random.split(mid.rng)
+        new_state = mid.replace(steps=steps, rng=rng)
+        info = {'cost': jnp.float32(0.0)}  # zero-cost pad (wrapper parity)
+        return obs, reward, done, info, new_state
+
+    def reset_done_single(self, state: BenchState, done, flat_obs,
+                          pool: LayoutPool):
+        rng, sub = jax.random.split(state.rng)
+        fresh = self._fresh(sub)
+        w = done > 0.0
+        merged = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(
+                jnp.reshape(w, (1,) * a.ndim) if a.ndim else w, a, b
+            ),
+            fresh, state.replace(rng=rng),
+        )
+        obs = jnp.where(w, self._observe(fresh), flat_obs)
+        return obs, merged
+
+    # -- stateful batched API (gym-flavored, parity with Engine) ------------
+
+    def reset(self):
+        self._key, k_env = jax.random.split(self._key)
+        pool = self._make_pool(self._key)
+        keys = jax.random.split(k_env, self.env_num)
+        self._pool = pool
+        self._obs, self._state = self._reset(keys, pool)
+        return self._obs
+
+    def step(self, action):
+        obs, rew, done, info, self._state = self._step(
+            self._state, jnp.asarray(action)
+        )
+        self._obs, self._done = obs, done
+        return obs, rew, done, info
+
+    def reset_done(self):
+        self._obs, self._state = self._reset_done(
+            self._state, self._done, self._obs, self._pool
+        )
+        return self._obs
+
+
+NATIVE_BENCH_TASKS = sorted(TASKS)

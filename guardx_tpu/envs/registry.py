@@ -198,6 +198,24 @@ def create_env(args):
     config['num_steps'] = args.max_ep_len
     config['device_id'] = 0
     if config.get('IsaacGym'):
+        import os
+
+        from guardx_tpu.envs.bench_tasks import NATIVE_BENCH_TASKS
+
+        name = config['task_name']
+        # TPU hosts have no PhysX: benchmark tasks with a native
+        # implementation (envs/bench_tasks.py) run on the guardx_tpu physics
+        # engine; GUARDX_ISAAC_BINARY=1 forces the external-binary adapter
+        # (reference isaacgymenvs.make path, safe_rl_env_config.py:2616-2626)
+        if name in NATIVE_BENCH_TASKS and not os.environ.get(
+            'GUARDX_ISAAC_BINARY'
+        ):
+            from guardx_tpu.envs.bench_tasks import NativeBenchEngine
+
+            return NativeBenchEngine(
+                name, env_num=args.env_num, num_steps=args.max_ep_len,
+                seed=args.seed,
+            )
         from guardx_tpu.envs.wrappers import IsaacGymWrapper
 
         return IsaacGymWrapper(config)
