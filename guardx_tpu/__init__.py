@@ -24,6 +24,18 @@ __version__ = "0.1.0"
 
 import os as _os
 
+# Backend override: GUARDX_PLATFORM=cpu forces the CPU backend even when a
+# site customization pins JAX_PLATFORMS (the axon TPU tunnel does; plain
+# env vars cannot override it — jax.config wins as long as the backend is
+# not initialized yet).
+if _os.environ.get("GUARDX_PLATFORM"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["GUARDX_PLATFORM"])
+    except Exception:
+        pass
+
 # persistent XLA compilation cache: TPU compiles of the jitted epoch are
 # expensive (tens of seconds); cache them across processes. Opt out with
 # GUARDX_NO_COMPILE_CACHE=1.

@@ -581,8 +581,14 @@ class Engine:
             box_vel=jnp.zeros(2, dtype=jnp.float32),
             robot_pos_last=data.xpos[self.body_robot],
             robot_pos_last_last=data.xpos[self.body_robot],
-            last_done=jnp.float32(0.0),
-            last_last_done=jnp.float32(0.0),
+            # the reference's history starts as None after a full reset
+            # (engine.py:479-481,507-510): obs() then zeroes vel/acc and
+            # reward_done() uses the current distance as last distance
+            # (zero first-step reward). last_done=1 reproduces exactly that
+            # branch structure (engine.py:752-758,790-792,905-915) — the
+            # golden parity test pins it.
+            last_done=jnp.float32(1.0),
+            last_last_done=jnp.float32(1.0),
             steps=jnp.int32(0),
             rng=rng,
         )

@@ -44,6 +44,7 @@ from typing import Any, Callable
 import numpy as np
 
 _UNINITIALIZED = -1e9
+KEEP_SNAPSHOTS = 3  # per-member .npz snapshots retained on disk
 
 
 # ---------------------------------------------------------------------------
@@ -137,6 +138,16 @@ def save_snapshot(workspace: str, policy_idx: int, iteration: int,
     with open(tmp, 'w') as f:
         json.dump(summary, f)
     os.replace(tmp, path)  # atomic for concurrent readers
+
+    # bound disk use: drop this member's snapshots older than the last
+    # KEEP_SNAPSHOTS iterations (the reference runs _cleanup per PBT
+    # iteration; a couple are kept for in-flight readers)
+    npzs = sorted(glob.glob(os.path.join(d, '[0-9]*.npz')))
+    for old in npzs[:-KEEP_SNAPSHOTS]:
+        try:
+            os.remove(old)
+        except OSError:
+            pass
     return path
 
 
@@ -202,10 +213,18 @@ def decide_exploit(cfg: PbtConfig, population: list[dict | None],
                    my_objective: float, rng: np.random.Generator,
                    ) -> dict | None:
     """Return the summary of the member to restore from, or None to keep
-    training. Pure function of the population snapshot — unit-testable."""
+    training. Pure function of the population snapshot — unit-testable.
+
+    Mirrors the reference's selection pressure (pbt.py:300-470):
+    - warm-up: no replacements until more than max(2, num_policies/2)
+      members have reported (noisy two-sample stds otherwise);
+    - the per-candidate objective delta must exceed the threshold — a
+      skewed population must not let a middling member adopt a WORSE
+      donor just because the population best is far ahead.
+    """
     known = [p for p in population
              if p is not None and p['objective'] > _UNINITIALIZED]
-    if len(known) < 2:
+    if len(known) <= max(2, cfg.num_policies // 2):
         return None
     objectives = np.array([p['objective'] for p in known])
     best = float(objectives.max())
@@ -217,8 +236,11 @@ def decide_exploit(cfg: PbtConfig, population: list[dict | None],
         return None
     n_best = max(1, int(round(cfg.replace_fraction_best * len(known))))
     top = sorted(known, key=lambda p: p['objective'], reverse=True)[:n_best]
-    # never "exploit" yourself
-    top = [p for p in top if p['policy_idx'] != cfg.policy_idx]
+    # never "exploit" yourself, and only adopt donors that beat this
+    # member by the same threshold (reference objective_delta check)
+    top = [p for p in top
+           if p['policy_idx'] != cfg.policy_idx
+           and p['objective'] - my_objective > threshold]
     if not top:
         return None
     return top[int(rng.integers(len(top)))]
@@ -241,11 +263,16 @@ class PbtMember:
 
     def after_epoch(self, epoch: int, metrics: dict, hp: dict, algo_state):
         cfg = self.cfg
-        self._objs.append(float(metrics.get(cfg.objective_key,
-                                            _UNINITIALIZED)))
+        if cfg.objective_key in metrics:
+            self._objs.append(float(metrics[cfg.objective_key]))
         if (epoch + 1) % cfg.interval_epochs != 0:
             return None
-        objective = float(np.mean(self._objs[-cfg.interval_epochs:]))
+        # interval mean over the epochs that actually reported the
+        # objective; _UNINITIALIZED only when none did (the reference
+        # filters uninitialized values the same way) — one missing epoch
+        # must not poison the mean with -1e9
+        window = self._objs[-cfg.interval_epochs:]
+        objective = float(np.mean(window)) if window else _UNINITIALIZED
         self.iteration += 1
         save_snapshot(cfg.workspace, cfg.policy_idx, self.iteration,
                       objective, hp, algo_state)

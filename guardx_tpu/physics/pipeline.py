@@ -68,28 +68,32 @@ def forward(model: Model, data: Data) -> Data:
 def step(model: Model, data: Data) -> Data:
     """Advance one control timestep (model.substeps internal substeps).
 
-    Mirrors mjx.step as used at reference engine.py:668-670.
+    Mirrors mjx.step as used at reference engine.py:668-670 — including
+    MuJoCo's evaluation order: FK runs on the PRE-integration state, so
+    the returned xpos/xmat lag qpos by one substep. The reference's
+    obs/reward/cost consume exactly that lagged frame (verified
+    element-for-element by tests/test_golden_parity.py), and skipping the
+    post-integration FK refresh saves one FK per control step.
     """
     h = model.timestep / model.substeps
 
     def substep(carry, _):
-        qpos, qvel = carry
-        qacc, (xpos, xquat, xmat, xipos) = _smooth_dynamics(
-            model, qpos, qvel, data.ctrl, h
-        )
+        qpos, qvel, _fk, _qacc = carry
+        qacc, fk = _smooth_dynamics(model, qpos, qvel, data.ctrl, h)
+        _, xquat, _, _ = fk
         qvel_new = qvel + h * qacc
         qpos_new = kinematics.integrate_qpos(model, qpos, qvel_new, xquat, h)
-        return (qpos_new, qvel_new), qacc
+        return (qpos_new, qvel_new, fk, qacc), None
 
-    (qpos, qvel), qaccs = jax.lax.scan(
-        substep, (data.qpos, data.qvel), (), length=model.substeps
+    init_fk = (data.xpos, data.xquat, data.xmat, data.xipos)
+    (qpos, qvel, (xpos, xquat, xmat, xipos), qacc), _ = jax.lax.scan(
+        substep, (data.qpos, data.qvel, init_fk, data.qacc), (),
+        length=model.substeps,
     )
-    # refresh kinematics at the final state so xpos/xmat match qpos
-    xpos, xquat, xmat, xipos, _, _ = kinematics.fk(model, qpos)
     return data.replace(
         qpos=qpos,
         qvel=qvel,
-        qacc=qaccs[-1],
+        qacc=qacc,
         xpos=xpos,
         xquat=xquat,
         xmat=xmat,

@@ -72,19 +72,24 @@ def test_step_moves_robot(env):
 
 
 def test_reward_is_distance_delta(env):
+    """Reference semantics (pinned by tests/test_golden_parity.py): the
+    first step after a full reset earns reward 0 (the None last-done chain,
+    reference engine.py:790-792); later steps earn the distance delta on
+    the step-lagged body frame (MuJoCo step order, physics.step)."""
     env.reset()
     a = jnp.tile(jnp.array([1.0, 0.0]), (4, 1))
-    s_before = env._state
-    d_before = jnp.linalg.norm(
-        s_before.goal_pos - s_before.data.qpos[:, :2], axis=-1
-    )
-    obs, r, d, info = env.step(a)
-    s_after = env._state
-    d_after = jnp.linalg.norm(
-        s_after.goal_pos - s_after.data.qpos[:, :2], axis=-1
-    )
+    obs, r1, d, info = env.step(a)
+    np.testing.assert_allclose(np.asarray(r1), 0.0, atol=1e-6)
+
+    s1 = env._state
+    x1 = s1.data.xpos[:, env.body_robot, :2]
+    d1 = jnp.linalg.norm(s1.goal_pos - x1, axis=-1)
+    obs, r2, d, info = env.step(a)
+    s2 = env._state
+    x2 = s2.data.xpos[:, env.body_robot, :2]
+    d2 = jnp.linalg.norm(s2.goal_pos - x2, axis=-1)
     np.testing.assert_allclose(
-        np.asarray(r), np.asarray(d_before - d_after), atol=1e-4
+        np.asarray(r2), np.asarray(d1 - d2), atol=1e-5
     )
 
 

@@ -83,6 +83,33 @@ def test_within_threshold_keeps_training(tmp_path):
                               rng) is None
 
 
+def test_never_adopts_worse_donor(tmp_path):
+    """ADVICE r1 (medium): in a skewed population [100, 1, 1, ..., me=50]
+    the gap-to-best check passes, but every candidate donor except the
+    best is WORSE than this member — the per-candidate delta must reject
+    them, never inverting selection pressure."""
+    cfg = _cfg(tmp_path, idx=9, n=10, replace_threshold_frac_std=0.5,
+               replace_threshold_frac_absolute=0.05)
+    rng = np.random.default_rng(0)
+    objs = [100.0] + [1.0] * 8 + [50.0]
+    for _ in range(100):
+        donor = pbt.decide_exploit(cfg, _pop(objs), 50.0, rng)
+        assert donor is None or donor['objective'] > 50.0
+
+
+def test_warmup_requires_half_population(tmp_path):
+    """No replacements until more than max(2, num_policies/2) members
+    report (ADVICE r1: two-sample stds are noise)."""
+    cfg = _cfg(tmp_path, idx=3, n=8,
+               replace_threshold_frac_std=0.0,
+               replace_threshold_frac_absolute=0.0)
+    rng = np.random.default_rng(0)
+    pop = _pop([10.0, 9.0, 0.0]) + [None] * 5
+    assert pbt.decide_exploit(cfg, pop, 0.0, rng) is None
+    pop = _pop([10.0, 9.0, 8.0, 0.0, 7.0]) + [None] * 3
+    assert pbt.decide_exploit(cfg, pop, 0.0, rng) is not None
+
+
 def test_unreported_members_ignored(tmp_path):
     cfg = _cfg(tmp_path, idx=0)
     rng = np.random.default_rng(0)
