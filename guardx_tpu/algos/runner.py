@@ -107,6 +107,10 @@ class Trainer:
             self._epoch_jit = jax.jit(
                 self._epoch, donate_argnums=(0,),
                 in_shardings=(shardings, None),
+                # pin outputs too: GSPMD may otherwise return small batch
+                # leaves (e.g. (B,3) goal positions) replicated, which would
+                # fail the next call's in_shardings check
+                out_shardings=(shardings, None),
             )
         else:
             self._epoch_jit = jax.jit(self._epoch, donate_argnums=(0,))

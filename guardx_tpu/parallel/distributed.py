@@ -19,8 +19,22 @@ TPU-native replacement for the reference's mpi4py layer
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+#: Environment variables whose presence marks a managed multi-host launch
+#: (TPU pod metadata / generic JAX coordinator / SLURM / OMPI).
+_CLUSTER_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "SLURM_JOB_NUM_NODES",
+    "OMPI_COMM_WORLD_SIZE",
+)
 
 
 def init_distributed(coordinator_address: str | None = None,
@@ -28,25 +42,36 @@ def init_distributed(coordinator_address: str | None = None,
                      process_id: int | None = None) -> None:
     """Initialize JAX's multi-host runtime (no-op on a single host).
 
-    On TPU pods the arguments are discovered from the environment; pass them
-    explicitly only for manual bring-up (mirrors the role of mpi_fork at
-    mpi_tools.py:6-36, minus the re-exec: hosts are launched externally).
+    Must be called BEFORE any API that touches the backend
+    (``jax.devices()``, ``jax.process_count()``, array creation, ...): the
+    first backend query freezes the process topology, after which
+    ``jax.distributed.initialize`` can no longer take effect. For that
+    reason this function never queries the backend itself — it checks
+    ``jax.distributed.is_initialized()``, which only reads the
+    coordination-service state.
+
+    With explicit arguments (manual bring-up, e.g. the 2-process CPU test)
+    initialization failures propagate. With no arguments, the cluster
+    topology is auto-discovered from the environment on managed launches
+    (TPU pods, SLURM, OMPI); on a plain single-host run there is nothing to
+    discover and this returns without touching JAX at all.
+
+    (Mirrors the role of mpi_fork at mpi_tools.py:6-36, minus the re-exec:
+    hosts are launched externally by the cluster scheduler.)
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
-    kwargs = {}
+    if jax.distributed.is_initialized():
+        return
     if coordinator_address is not None:
-        kwargs = dict(
+        jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    try:
-        jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # single-process run (no coordinator in the environment): fine —
-        # the 1-host mesh covers all local devices
-        pass
+        return
+    if any(os.environ.get(v) for v in _CLUSTER_ENV_VARS):
+        # managed multi-host launch: auto-discovery must succeed — a
+        # swallowed failure here would silently train on 1/N of the pod
+        jax.distributed.initialize()
 
 
 def host_seed(rng_or_seed):

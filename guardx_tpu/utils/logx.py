@@ -26,22 +26,20 @@ import numpy as np
 
 from guardx_tpu.utils.serialization import convert_json
 
-color2num = dict(
-    gray=30, red=31, green=32, yellow=33, blue=34, magenta=35, cyan=36,
-    white=37, crimson=38,
-)
+# ANSI SGR foreground codes (same palette the reference's console output
+# uses, logx.py:19-28, so session transcripts look identical)
+_ANSI_FG = {
+    'gray': 30, 'red': 31, 'green': 32, 'yellow': 33, 'blue': 34,
+    'magenta': 35, 'cyan': 36, 'white': 37, 'crimson': 38,
+}
 
 
-def colorize(string, color, bold=False, highlight=False):
-    """ANSI-colorize a string (reference logx.py:30-41)."""
-    attr = []
-    num = color2num[color]
-    if highlight:
-        num += 10
-    attr.append(str(num))
-    if bold:
-        attr.append('1')
-    return '\x1b[%sm%s\x1b[0m' % (';'.join(attr), string)
+def colorize(text: str, color: str, bold: bool = False,
+             highlight: bool = False) -> str:
+    """Wrap ``text`` in ANSI escape codes for terminal color."""
+    code = _ANSI_FG[color] + (10 if highlight else 0)
+    sgr = f"{code};1" if bold else f"{code}"
+    return f"\x1b[{sgr}m{text}\x1b[0m"
 
 
 def statistics_scalar(vals, with_min_and_max=False):
@@ -100,15 +98,16 @@ class Logger:
     def log_tabular(self, key, val):
         if self.first_row:
             self.log_headers.append(key)
-        else:
-            assert key in self.log_headers, (
-                "Trying to introduce a new key %s that you didn't include in "
-                "the first iteration" % key
+        elif key not in self.log_headers:
+            raise KeyError(
+                f"new metric '{key}' after the first epoch — the TSV header "
+                "is fixed at the first dump_tabular()"
             )
-        assert key not in self.log_current_row, (
-            "You already set %s this iteration. Maybe you forgot to call "
-            "dump_tabular()" % key
-        )
+        if key in self.log_current_row:
+            raise KeyError(
+                f"metric '{key}' set twice this epoch (missing "
+                "dump_tabular()?)"
+            )
         self.log_current_row[key] = val
 
     def save_config(self, config):
@@ -152,24 +151,29 @@ class Logger:
         joblib.dump(host, osp.join(fpath, fname))
 
     def dump_tabular(self):
-        """Aligned stdout table + TSV row (reference logx.py:273-299)."""
-        vals = []
-        key_lens = [len(key) for key in self.log_headers]
-        max_key_len = max(15, max(key_lens))
-        keystr = '%' + '%d' % max_key_len
-        fmt = "| " + keystr + "s | %15s |"
-        n_slashes = 22 + max_key_len
-        print("-" * n_slashes)
-        for key in self.log_headers:
-            val = self.log_current_row.get(key, "")
-            valstr = "%8.3g" % val if hasattr(val, "__float__") else val
-            print(fmt % (key, valstr))
-            vals.append(val)
-        print("-" * n_slashes, flush=True)
+        """Flush the epoch's metrics: boxed stdout table + one TSV row.
+
+        Same on-disk/console format as the reference (logx.py:273-299) so
+        its plotters and log parsers keep working: header written once,
+        values %8.3g-formatted in a right-aligned ``| key | value |`` box.
+        """
+        width = max(15, *(len(k) for k in self.log_headers))
+        rule = '-' * (22 + width)
+        row = [self.log_current_row.get(k, "") for k in self.log_headers]
+
+        lines = [rule]
+        for key, val in zip(self.log_headers, row):
+            shown = f"{val:8.3g}" if hasattr(val, "__float__") else val
+            lines.append(f"| {key:>{width}} | {shown:>15} |")
+        lines.append(rule)
+        print("\n".join(lines), flush=True)
+
         if self.output_file is not None:
             if self.first_row:
                 self.output_file.write("\t".join(self.log_headers) + "\n")
-            self.output_file.write("\t".join(map(str, vals)) + "\n")
+            self.output_file.write(
+                "\t".join(str(v) for v in row) + "\n"
+            )
             self.output_file.flush()
         self.log_current_row.clear()
         self.first_row = False

@@ -1,38 +1,50 @@
 """JSON-able conversion of arbitrary config objects.
 
 Plays the role of the reference's serialization_utils
-(reference: safe_rl_libX/guard_utils/serialization_utils.py:1-32): make a
-best-effort JSON tree out of anything, falling back to repr strings.
+(reference: safe_rl_libX/guard_utils/serialization_utils.py:1-32) with the
+same contract — turn anything a user might stuff in an experiment config
+into a tree json.dumps accepts, degrading to names/repr strings — but
+re-derived: explicit primitive/type dispatch instead of trial
+serialization at every node.
 """
 
 from __future__ import annotations
 
+import json
+
+_JSON_PRIMITIVES = (str, int, float, bool, type(None))
+
 
 def convert_json(obj):
-    """Convert obj to a value serializable by json.dumps."""
-    if is_json_serializable(obj):
+    """Best-effort conversion of ``obj`` to a json.dumps-able tree.
+
+    Rules, in order: JSON primitives pass through; containers convert
+    elementwise; named callables/classes (not lambdas) become their name;
+    objects with a populated ``__dict__`` become ``{repr: attr-tree}``;
+    anything else that happens to serialize passes through, else ``str``.
+    """
+    if isinstance(obj, _JSON_PRIMITIVES):
         return obj
     if isinstance(obj, dict):
         return {convert_json(k): convert_json(v) for k, v in obj.items()}
-    if isinstance(obj, tuple):
-        return tuple(convert_json(x) for x in obj)
-    if isinstance(obj, list):
-        return [convert_json(x) for x in obj]
-    if hasattr(obj, '__name__') and 'lambda' not in obj.__name__:
-        return convert_json(obj.__name__)
-    if hasattr(obj, '__dict__') and obj.__dict__:
-        obj_dict = {
-            convert_json(k): convert_json(v) for k, v in obj.__dict__.items()
-        }
-        return {str(obj): obj_dict}
+    if isinstance(obj, (list, tuple)):
+        items = [convert_json(x) for x in obj]
+        return items if isinstance(obj, list) else tuple(items)
+    name = getattr(obj, '__name__', None)
+    if isinstance(name, str) and 'lambda' not in name:
+        return name
+    attrs = getattr(obj, '__dict__', None)
+    if attrs:
+        return {str(obj): convert_json(attrs)}
+    if is_json_serializable(obj):
+        return obj
     return str(obj)
 
 
-def is_json_serializable(v):
+def is_json_serializable(value) -> bool:
+    """True when ``json.dumps(value)`` would succeed."""
     try:
-        import json
-
-        json.dumps(v)
-        return True
-    except Exception:
+        json.dumps(value)
+    except (TypeError, ValueError, OverflowError):
         return False
+    return True

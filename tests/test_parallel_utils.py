@@ -6,7 +6,7 @@ import numpy as np
 
 from guardx_tpu.parallel import global_stats, host_seed, make_mesh
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def test_host_seed_single_process_deterministic():
