@@ -168,35 +168,3 @@ def passive_force(model: Model, qpos, qvel):
         dadr = model.jnt_dofadr_t[j]
         tau = tau.at[dadr].add(-k * (qpos[qadr] - model.jnt_springref[j]))
     return tau
-
-
-def limit_force(model: Model, qpos, qvel, M_diag, h):
-    """Soft joint-limit forces (penalty spring-damper in joint space).
-
-    MuJoCo resolves limits in its constraint solver; here a critically-damped
-    penalty scaled by the joint's effective inertia gives the same
-    mass-independent error dynamics (timeconst 0.02) without a solver, which
-    keeps the step branch-free for XLA. Documented divergence from reference.
-    """
-    tc = 0.04
-    k = 1.0 / (tc * tc)
-    c = 2.0 / tc
-    tau = jnp.zeros(model.nv, dtype=qvel.dtype)
-    for j in range(model.njnt):
-        t = model.jnt_type_t[j]
-        if t not in (SLIDE, HINGE):
-            continue
-        qadr = model.jnt_qposadr_t[j]
-        dadr = model.jnt_dofadr_t[j]
-        limited = model.jnt_limited[j]
-        lo, hi = model.jnt_range[j, 0], model.jnt_range[j, 1]
-        q, v = qpos[qadr], qvel[dadr]
-        m_eff = M_diag[dadr]
-        over = jnp.maximum(q - hi, 0.0)
-        under = jnp.maximum(lo - q, 0.0)
-        f = m_eff * (
-            -k * over - c * v * (over > 0)
-            + k * under - c * v * (under > 0)
-        )
-        tau = tau.at[dadr].add(limited * f)
-    return tau

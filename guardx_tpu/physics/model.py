@@ -44,6 +44,7 @@ class Model:
     njnt: int = struct.field(pytree_node=False)
     ngeom: int = struct.field(pytree_node=False)
     ncontact: int = struct.field(pytree_node=False)  # static contact candidates
+    nlimit: int = struct.field(pytree_node=False)  # limited slide/hinge joints
     timestep: float = struct.field(pytree_node=False)
     substeps: int = struct.field(pytree_node=False)  # internal substeps / step
     # per-joint static metadata (python tuples -> static under jit)
@@ -107,9 +108,31 @@ class Model:
     con_point: jnp.ndarray  # (ncontact, 3) offset in body frame
     con_radius: jnp.ndarray  # (ncontact,)
     con_friction: jnp.ndarray  # (ncontact,) sliding friction coefficient
+    # pair margin (geom margin + floor margin): contact force activates when
+    # dist < margin, matching MuJoCo includemargin semantics
+    con_margin: jnp.ndarray  # (ncontact,)
     # contact impedance (MuJoCo solref-like): [timeconst, dampratio]
     con_solref: jnp.ndarray  # (2,)
+    # joint-limit constraint rows (limited slide/hinge joints), resolved in
+    # the same unilateral-constraint solve as contacts (constraints.py)
+    lim_dofadr: jnp.ndarray  # (nlimit,) int
+    lim_qposadr: jnp.ndarray  # (nlimit,) int
+    lim_range: jnp.ndarray  # (nlimit, 2)
     total_mass: jnp.ndarray  # () scalar, sum of body masses
+    # geom-pair contact candidates (sphere-sphere / sphere-box), static list
+    # built at load time from contype/conaffinity (collision.py pair block).
+    # GUARD robots have none (task geoms are contype=0); bench tasks opt in.
+    npair: int = struct.field(pytree_node=False, default=0)
+    pair_body_a: jnp.ndarray = None  # (npair,) int — sphere side
+    pair_body_b: jnp.ndarray = None  # (npair,) int — sphere or box side
+    pair_pos_a: jnp.ndarray = None  # (npair, 3) sphere center, body frame
+    pair_pos_b: jnp.ndarray = None  # (npair, 3) other center, body frame
+    pair_radius_a: jnp.ndarray = None  # (npair,)
+    pair_is_box: jnp.ndarray = None  # (npair,) 1.0 if b is a box
+    pair_size_b: jnp.ndarray = None  # (npair, 3) box half-sizes / [rb,0,0]
+    pair_mat_b: jnp.ndarray = None  # (npair, 3, 3) box orientation, body frame
+    pair_friction: jnp.ndarray = None  # (npair,)
+    pair_margin: jnp.ndarray = None  # (npair,)
 
 
 @struct.dataclass
@@ -130,7 +153,8 @@ def _np(x):
     return np.asarray(x, dtype=np.float64)
 
 
-def load_model(mj_model, substeps: int = 1, contact_solref=(0.02, 1.0)) -> tuple:
+def load_model(mj_model, substeps: int = 1, contact_solref=(0.02, 1.0),
+               self_collision: bool = False) -> tuple:
     """Extract a device Model from a compiled mujoco.MjModel.
 
     Returns (model, meta) where meta is a host-side dict with name maps:
@@ -213,10 +237,11 @@ def load_model(mj_model, substeps: int = 1, contact_solref=(0.02, 1.0)) -> tuple
         g for g in range(ngeom)
         if int(m.geom_type[g]) == GEOM_PLANE
     ]
-    con_body, con_point, con_radius, con_fric = [], [], [], []
+    con_body, con_point, con_radius, con_fric, con_marg = [], [], [], [], []
     if floor_ids:
         f = floor_ids[0]
         f_con, f_aff = int(m.geom_contype[f]), int(m.geom_conaffinity[f])
+        f_margin = float(m.geom_margin[f])
         for g in range(ngeom):
             if int(m.geom_type[g]) == GEOM_PLANE:
                 continue
@@ -264,11 +289,61 @@ def load_model(mj_model, substeps: int = 1, contact_solref=(0.02, 1.0)) -> tuple
                 # cylinder / ellipsoid: treat as sphere at geom center
                 pts = [gpos]
                 r = float(np.min(size[size > 0])) if np.any(size > 0) else 0.0
+            # pair margin = this geom's margin + the floor's margin
+            # (MuJoCo includemargin, verified empirically: margins add)
+            marg = float(m.geom_margin[g]) + f_margin
             for p in pts:
                 con_body.append(bid)
                 con_point.append(p)
                 con_radius.append(r)
                 con_fric.append(fric)
+                con_marg.append(marg)
+
+    # static prune: drop candidates that can NEVER activate. If every joint
+    # on the chain world->body preserves world z (horizontal slide, or hinge
+    # about exactly +-z, with unrotated body frames), the contact point's
+    # height is an invariant of the dynamics; if its depth at qpos0 is
+    # already <= 0 it stays inactive forever. This keeps the flagship
+    # point robot (slide-slide-yaw, sphere resting exactly at z=radius)
+    # entirely contact-free, so the constraint solve never runs there.
+    if con_body:
+        import mujoco  # host-side MJCF compiler only (module docstring)
+
+        d0 = mujoco.MjData(m)
+        mujoco.mj_forward(m, d0)
+
+        def _z_invariant(bid_):
+            b = bid_
+            while b != 0:
+                if abs(float(np.linalg.norm(m.body_quat[b] - np.array([1, 0, 0, 0])))) > 1e-9:
+                    return False
+                for j in range(njnt):
+                    if jnt_bodyid[j] != b:
+                        continue
+                    ax = _np(m.jnt_axis[j])
+                    if jnt_type[j] == SLIDE and abs(ax[2]) < 1e-9:
+                        continue
+                    if jnt_type[j] == HINGE and abs(ax[0]) < 1e-9 and abs(ax[1]) < 1e-9:
+                        continue
+                    return False
+                b = body_parent[b]
+            return True
+
+        keep = []
+        for i, bid in enumerate(con_body):
+            z = float(
+                d0.xpos[bid][2]
+                + (d0.xmat[bid].reshape(3, 3) @ con_point[i])[2]
+            )
+            depth0 = con_radius[i] + con_marg[i] - z
+            if depth0 <= 0.0 and _z_invariant(bid):
+                continue
+            keep.append(i)
+        con_body = [con_body[i] for i in keep]
+        con_point = [con_point[i] for i in keep]
+        con_radius = [con_radius[i] for i in keep]
+        con_fric = [con_fric[i] for i in keep]
+        con_marg = [con_marg[i] for i in keep]
 
     ncontact = len(con_body)
     if ncontact == 0:
@@ -276,9 +351,117 @@ def load_model(mj_model, substeps: int = 1, contact_solref=(0.02, 1.0)) -> tuple
         con_point = [np.zeros(3)]
         con_radius = [0.0]
         con_fric = [0.0]
+        con_marg = [0.0]
         ncontact_arr = 0
     else:
         ncontact_arr = ncontact
+
+    # geom-pair contact candidates: sphere(/capsule-cap)-vs-sphere and
+    # sphere-vs-box pairs between distinct, non-parent-child bodies whose
+    # contype/conaffinity masks allow collision (MuJoCo pair filtering,
+    # including the default filterparent rule). Static list; other geom-type
+    # pairs are not supported (GUARD/bench tasks only need these).
+    pr_ba, pr_bb, pr_pa, pr_pb, pr_ra = [], [], [], [], []
+    pr_box, pr_sb, pr_mb, pr_fric, pr_marg = [], [], [], [], []
+
+    def _quat_mat(q):
+        w, x, y, z = q
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+
+    def _sphere_points(g):
+        """(points, radius) for a geom treated as one or more spheres."""
+        gtype = int(m.geom_type[g])
+        gpos = _np(m.geom_pos[g])
+        size = _np(m.geom_size[g])
+        if gtype == GEOM_SPHERE:
+            return [gpos], float(size[0])
+        if gtype == GEOM_CAPSULE:
+            Rg = _quat_mat(_np(m.geom_quat[g]))
+            half = Rg @ np.array([0.0, 0.0, size[1]])
+            return [gpos + half, gpos - half], float(size[0])
+        return None, 0.0
+
+    for ga in range(ngeom):
+        for gb in range(ngeom):
+            ta, tb = int(m.geom_type[ga]), int(m.geom_type[gb])
+            if ta in (GEOM_PLANE, GEOM_HFIELD) or tb == GEOM_PLANE or tb == GEOM_HFIELD:
+                continue
+            # a must be sphere-like; b sphere-like or box. Order pairs so
+            # each unordered pair appears once: sphere-sphere with ga < gb,
+            # sphere-box always (ga sphere, gb box).
+            if tb == GEOM_BOX:
+                if ta not in (GEOM_SPHERE, GEOM_CAPSULE):
+                    continue
+            elif ta in (GEOM_SPHERE, GEOM_CAPSULE) and tb in (GEOM_SPHERE, GEOM_CAPSULE):
+                if ga >= gb:
+                    continue
+            else:
+                continue
+            ba_, bb_ = int(m.geom_bodyid[ga]), int(m.geom_bodyid[gb])
+            if ba_ == bb_:
+                continue
+            # skip pairs where neither side has any dof on its chain
+            # (static-static: zero Jacobian, can never produce force)
+            if not (anc[ba_].any() or anc[bb_].any()):
+                continue
+            # same-tree (self-)collision is opt-in: leg-vs-leg candidate
+            # lists grow O(ngeom^2) (doggo: 312 rows) for contacts that
+            # barely occur; cross-tree contacts (robot-vs-object) are the
+            # ones that carry task dynamics
+            if (not self_collision and ba_ != 0 and bb_ != 0
+                    and treeroot[ba_] == treeroot[bb_]):
+                continue
+            # filterparent: skip parent-child body pairs (MuJoCo default)
+            if body_parent[ba_] == bb_ or body_parent[bb_] == ba_:
+                continue
+            ca, aa = int(m.geom_contype[ga]), int(m.geom_conaffinity[ga])
+            cb, ab = int(m.geom_contype[gb]), int(m.geom_conaffinity[gb])
+            if not ((ca & ab) or (cb & aa)):
+                continue
+            pts_a, ra = _sphere_points(ga)
+            if pts_a is None:
+                continue
+            marg = float(m.geom_margin[ga]) + float(m.geom_margin[gb])
+            fric = min(float(m.geom_friction[ga, 0]), float(m.geom_friction[gb, 0]))
+            if tb == GEOM_BOX:
+                for pa in pts_a:
+                    pr_ba.append(ba_); pr_bb.append(bb_)
+                    pr_pa.append(pa); pr_pb.append(_np(m.geom_pos[gb]))
+                    pr_ra.append(ra); pr_box.append(1.0)
+                    pr_sb.append(_np(m.geom_size[gb]))
+                    pr_mb.append(_quat_mat(_np(m.geom_quat[gb])))
+                    pr_fric.append(fric); pr_marg.append(marg)
+            else:
+                pts_b, rb = _sphere_points(gb)
+                for pa in pts_a:
+                    for pb in pts_b:
+                        pr_ba.append(ba_); pr_bb.append(bb_)
+                        pr_pa.append(pa); pr_pb.append(pb)
+                        pr_ra.append(ra); pr_box.append(0.0)
+                        pr_sb.append(np.array([rb, 0.0, 0.0]))
+                        pr_mb.append(np.eye(3))
+                        pr_fric.append(fric); pr_marg.append(marg)
+
+    npair = len(pr_ba)
+    if npair == 0:
+        pr_ba, pr_bb, pr_pa, pr_pb = [0], [0], [np.zeros(3)], [np.zeros(3)]
+        pr_ra, pr_box, pr_sb = [0.0], [0.0], [np.zeros(3)]
+        pr_mb, pr_fric, pr_marg = [np.eye(3)], [0.0], [0.0]
+
+    # joint-limit constraint rows: limited slide/hinge joints
+    lim_dofadr, lim_qposadr, lim_range = [], [], []
+    for j in range(njnt):
+        if jnt_type[j] in (SLIDE, HINGE) and bool(m.jnt_limited[j]):
+            lim_dofadr.append(jnt_dofadr[j])
+            lim_qposadr.append(jnt_qposadr[j])
+            lim_range.append(_np(m.jnt_range[j]))
+    nlimit = len(lim_dofadr)
+    if nlimit == 0:
+        lim_dofadr, lim_qposadr, lim_range = [0], [0], [np.zeros(2)]
 
     f32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.float32)
     i32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.int32)
@@ -286,6 +469,7 @@ def load_model(mj_model, substeps: int = 1, contact_solref=(0.02, 1.0)) -> tuple
     model = Model(
         nq=nq, nv=nv, nu=nu, nbody=nbody, njnt=njnt, ngeom=ngeom,
         ncontact=ncontact_arr,
+        nlimit=nlimit,
         timestep=float(m.opt.timestep),
         substeps=int(substeps),
         jnt_type_t=tuple(jnt_type),
@@ -325,7 +509,22 @@ def load_model(mj_model, substeps: int = 1, contact_solref=(0.02, 1.0)) -> tuple
         con_point=f32(con_point),
         con_radius=f32(con_radius),
         con_friction=f32(con_fric),
+        con_margin=f32(con_marg),
         con_solref=f32(contact_solref),
+        lim_dofadr=i32(lim_dofadr),
+        lim_qposadr=i32(lim_qposadr),
+        lim_range=f32(lim_range),
+        npair=npair,
+        pair_body_a=i32(pr_ba),
+        pair_body_b=i32(pr_bb),
+        pair_pos_a=f32(pr_pa),
+        pair_pos_b=f32(pr_pb),
+        pair_radius_a=f32(pr_ra),
+        pair_is_box=f32(pr_box),
+        pair_size_b=f32(pr_sb),
+        pair_mat_b=f32(pr_mb),
+        pair_friction=f32(pr_fric),
+        pair_margin=f32(pr_marg),
         total_mass=f32(np.sum(m.body_mass)),
     )
 

@@ -37,19 +37,27 @@ def _smooth_dynamics(model: Model, qpos, qvel, ctrl, h):
     """One dynamics evaluation: returns (qacc, fk results)."""
     xpos, xquat, xmat, xipos, S, origin = kinematics.fk(model, qpos)
     M, bias = dynamics.mass_bias(model, qvel, xmat, xipos, xquat, S, origin)
-    # implicit damping: fold h*D into the LHS
+    # implicit joint damping: fold h*D into the LHS
     Mh = M + h * jnp.diag(model.dof_damping)
     chol, solve = _spd_factor(model, Mh)
 
     tau = dynamics.actuator_force(model, ctrl)
     tau = tau + dynamics.passive_force(model, qpos, qvel)
-    tau = tau + dynamics.limit_force(model, qpos, qvel, jnp.diag(M), h)
-    tau = tau + collision.contact_force(
-        model, qvel, xpos, xmat, S, origin, (chol, solve), h
-    )
 
     rhs = tau - bias - model.dof_damping * qvel
-    qacc = solve(chol, rhs)
+    qacc_free = solve(chol, rhs)
+    if model.ncontact == 0 and model.nlimit == 0 and model.npair == 0:
+        return qacc_free, (xpos, xquat, xmat, xipos)
+
+    # unilateral constraints (floor contacts + joint limits): explicit
+    # impedance forces from the coupled projected-Jacobi solve + implicit
+    # friction slopes as a damping matrix in the LHS; the smooth factor
+    # above supplies the Delassus products and the free acceleration
+    qfrc_c, Hc = collision.constraint_terms(
+        model, qpos, qvel, qacc_free, xpos, xmat, S, origin, (chol, solve), h
+    )
+    chol_c, solve_c = _spd_factor(model, Mh + h * Hc)
+    qacc = solve_c(chol_c, rhs + qfrc_c - Hc @ qvel)
     return qacc, (xpos, xquat, xmat, xipos)
 
 
