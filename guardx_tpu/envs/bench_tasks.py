@@ -11,17 +11,23 @@ matching IsaacGymWrapper's zero-cost padding at
 safe_rl_env_config.py:2640-2644), so the corresponding registry names run
 on TPU with no external dependency:
 
-    Cartpole    — cart/pole balance        (IsaacGymEnvs tasks/cartpole.py)
-    Ant         — quadruped locomotion     (IsaacGymEnvs tasks/ant.py)
-    Humanoid    — biped locomotion         (IsaacGymEnvs tasks/humanoid.py)
-    Anymal      — quadruped locomotion     (IsaacGymEnvs tasks/anymal.py;
+    Cartpole      — cart/pole balance      (IsaacGymEnvs tasks/cartpole.py)
+    Ant           — quadruped locomotion   (IsaacGymEnvs tasks/ant.py)
+    Humanoid      — biped locomotion       (IsaacGymEnvs tasks/humanoid.py)
+    Anymal        — quadruped locomotion   (IsaacGymEnvs tasks/anymal.py;
                                             doggo morphology)
-    Quadcopter  — hover-to-target          (IsaacGymEnvs tasks/quadcopter.py)
+    AnymalTerrain — velocity-command following on rough ground
+                    (IsaacGymEnvs tasks/anymal_terrain.py; analytic
+                     sinusoidal terrain in the contact solve)
+    Quadcopter    — hover-to-target        (IsaacGymEnvs tasks/quadcopter.py)
+    BallBalance   — tilt a tray to center a free ball
+                    (IsaacGymEnvs tasks/ball_balance.py; sphere-box pair)
+    FrankaCabinet — fixed-base 6-dof arm opens a sliding drawer by its
+                    handle (IsaacGymEnvs tasks/franka_cabinet.py;
+                    end-effector/handle sphere-box pair)
 
-Tasks needing non-floor contacts or vendored meshes (ShadowHand, Allegro*,
-Trifinger, Franka*, BallBalance's tray) remain adapter-only
-(guardx_tpu.envs.wrappers) — the physics engine's contact model is
-floor-plane-only (physics/collision.py).
+Tasks needing vendored meshes or dexterous-hand models (ShadowHand,
+Allegro*, Trifinger) remain adapter-only (guardx_tpu.envs.wrappers).
 
 The reward structures follow the IsaacGym task definitions (progress +
 alive - energy for locomotion; angle/velocity penalties for cartpole;
@@ -59,7 +65,7 @@ class BenchState:
 class _TaskSpec:
     def __init__(self, xml, reset_noise=0.05, z_lo=None, z_hi=None,
                  forward_scale=1.0, alive_bonus=0.5, energy_cost=0.005,
-                 kind='locomotion'):
+                 kind='locomotion', terrain=None, substeps=None):
         self.xml = xml
         self.reset_noise = reset_noise
         self.z_lo, self.z_hi = z_lo, z_hi
@@ -67,6 +73,8 @@ class _TaskSpec:
         self.alive_bonus = alive_bonus
         self.energy_cost = energy_cost
         self.kind = kind
+        self.terrain = terrain
+        self.substeps = substeps
 
 
 TASKS = {
@@ -76,7 +84,14 @@ TASKS = {
     'Humanoid': _TaskSpec('humanoid.xml', z_lo=0.8, z_hi=2.5,
                           alive_bonus=2.0, energy_cost=0.003),
     'Anymal': _TaskSpec('doggo.xml', z_lo=0.12, z_hi=1.0),
+    'AnymalTerrain': _TaskSpec('doggo.xml', z_lo=0.10, z_hi=1.0,
+                               kind='command', terrain=(0.04, 4.0, 4.0),
+                               substeps=4),
     'Quadcopter': _TaskSpec('drone.xml', kind='hover'),
+    'BallBalance': _TaskSpec('ballbalance.xml', reset_noise=0.02,
+                             kind='balance', substeps=2),
+    'FrankaCabinet': _TaskSpec('cabinet.xml', reset_noise=0.05,
+                               kind='cabinet', substeps=2),
 }
 
 CARTPOLE_RESET_DIST = 3.0
@@ -105,15 +120,29 @@ class NativeBenchEngine:
         )
         from guardx_tpu.envs.engine import Engine
 
-        substeps = Engine.ROBOT_SUBSTEPS.get(spec.xml, 4)
+        substeps = spec.substeps or Engine.ROBOT_SUBSTEPS.get(spec.xml, 4)
         self.model, self.meta = physics.load_model(
-            self.mj_model, substeps=substeps
+            self.mj_model, substeps=substeps, terrain=spec.terrain
         )
         self.body_robot = self.meta['body_name2id']['robot']
         self.dt = self.model.timestep
 
         self._free = 'robot' in self.meta['jnt_name2qposadr']
         self._qpos0 = jnp.asarray(self.mj_model.qpos0, dtype=jnp.float32)
+
+        if spec.kind == 'balance':
+            self._ball_adr = self.meta['jnt_name2qposadr']['ball']
+            self._ball_body = self.meta['body_name2id']['ball']
+        if spec.kind == 'cabinet':
+            self._drawer_adr = self.meta['jnt_name2qposadr']['drawer_slide']
+            # (body id, body-frame offset) pairs, resolved on the host
+            for attr, gname in (('_ee', 'end_effector'),
+                                ('_handle', 'drawer_handle')):
+                gid = self.meta['geom_name2id'][gname]
+                setattr(self, attr, (
+                    int(self.mj_model.geom_bodyid[gid]),
+                    jnp.asarray(self.mj_model.geom_pos[gid], jnp.float32),
+                ))
 
         self.obs_flat_size = self._obs_size()
         self.observation_space = Box(
@@ -143,12 +172,25 @@ class NativeBenchEngine:
 
     # -- observations ------------------------------------------------------
 
+    def _geom_world(self, data, ref):
+        b, off = ref
+        return data.xpos[b] + data.xmat[b] @ off
+
     def _obs_size(self):
         if self.spec.kind == 'cartpole':
             return 4
         if self.spec.kind == 'hover':
             # pos error (3), yaw sin/cos (2), qvel (nv)
             return 5 + self.model.nv
+        if self.spec.kind == 'command':
+            # locomotion obs + velocity commands (vx, vy, yaw rate)
+            return (self.model.nq - 2) + self.model.nv + 3
+        if self.spec.kind == 'balance':
+            # tilt pos/vel (4), ball rel pos (3), ball lin vel (3)
+            return 10
+        if self.spec.kind == 'cabinet':
+            # arm qpos/qvel (12), handle-ee delta (3), opening pos/vel (2)
+            return 17
         # locomotion: qpos minus root xy, full qvel
         return (self.model.nq - 2) + self.model.nv
 
@@ -162,6 +204,25 @@ class NativeBenchEngine:
             return jnp.concatenate([
                 state.target - pos, jnp.stack([jnp.sin(yaw), jnp.cos(yaw)]),
                 qvel,
+            ])
+        if self.spec.kind == 'command':
+            return jnp.concatenate([qpos[2:], qvel, state.target])
+        if self.spec.kind == 'balance':
+            a = self._ball_adr
+            ball = jax.lax.dynamic_slice(qpos, (a,), (3,))
+            tray_c = state.data.xpos[self.body_robot]
+            return jnp.concatenate([
+                qpos[:2], qvel[:2],
+                ball - tray_c - jnp.array([0.0, 0.0, 0.08]),
+                jax.lax.dynamic_slice(qvel, (2,), (3,)),
+            ])
+        if self.spec.kind == 'cabinet':
+            ee = self._geom_world(state.data, self._ee)
+            handle = self._geom_world(state.data, self._handle)
+            d = self._drawer_adr
+            return jnp.concatenate([
+                qpos[:6], qvel[:6], handle - ee,
+                qpos[d:d + 1], qvel[d:d + 1],
             ])
         return jnp.concatenate([qpos[2:], qvel])
 
@@ -191,6 +252,38 @@ class NativeBenchEngine:
             reward = pos_reward * (1.0 + spin_reward)
             done = (dist2 > 64.0).astype(jnp.float32)
             return reward, done
+        if spec.kind == 'command':
+            # anymal_terrain.py command tracking: exp-shaped linear/angular
+            # velocity tracking minus an action-energy penalty
+            cmd = state.target
+            lin_err = (qvel[0] - cmd[0]) ** 2 + (qvel[1] - cmd[1]) ** 2
+            ang_err = (qvel[5] - cmd[2]) ** 2
+            reward = (
+                jnp.exp(-4.0 * lin_err)
+                + 0.5 * jnp.exp(-4.0 * ang_err)
+                - spec.energy_cost * jnp.sum(action ** 2)
+            )
+            z = qpos[2]
+            fell = jnp.logical_or(z < spec.z_lo, z > spec.z_hi)
+            return reward, fell.astype(jnp.float32)
+        if spec.kind == 'balance':
+            a = self._ball_adr
+            ball = jax.lax.dynamic_slice(qpos, (a,), (3,))
+            tray_c = state.data.xpos[self.body_robot]
+            d2 = jnp.sum((ball[:2] - tray_c[:2]) ** 2)
+            reward = 1.0 / (1.0 + 15.0 * d2)
+            fell = ball[2] < 0.3  # ball dropped off the tray
+            reward = jnp.where(fell, -2.0, reward)
+            return reward, fell.astype(jnp.float32)
+        if spec.kind == 'cabinet':
+            ee = self._geom_world(state.data, self._ee)
+            handle = self._geom_world(state.data, self._handle)
+            d2 = jnp.sum((handle - ee) ** 2)
+            opening = qpos[self._drawer_adr]
+            reward = (0.5 / (1.0 + 10.0 * d2) + 4.0 * opening
+                      - 0.005 * jnp.sum(action ** 2))
+            done = (opening > 0.3).astype(jnp.float32)
+            return reward, done
         # locomotion: forward progress + alive - energy (IsaacGym ant.py /
         # humanoid.py potentials shape, flat-ground special case)
         vx = qvel[0]
@@ -208,10 +301,21 @@ class NativeBenchEngine:
         qpos = self._qpos0 + noise * jax.random.uniform(
             k_q, (self.model.nq,), minval=-1.0, maxval=1.0
         )
-        if self._free:
-            # keep the root quaternion exactly upright at reset
-            adr = self.meta['jnt_name2qposadr']['robot']
-            qpos = qpos.at[adr:adr + 2].set(0.0)
+        # free joints: xy noise only, reference height, exactly upright
+        from guardx_tpu.physics.model import FREE
+
+        for j, t in enumerate(self.model.jnt_type_t):
+            if t != FREE:
+                continue
+            adr = self.model.jnt_qposadr_t[j]
+            if not self._free or adr != self.meta['jnt_name2qposadr'].get(
+                'robot', -1
+            ):
+                # non-robot free body (e.g. the BallBalance ball): keep the
+                # xy noise already applied
+                pass
+            else:
+                qpos = qpos.at[adr:adr + 2].set(0.0)
             qpos = qpos.at[adr + 2].set(self._qpos0[adr + 2])
             quat0 = jnp.zeros(4, jnp.float32).at[0].set(1.0)
             qpos = jax.lax.dynamic_update_slice(qpos, quat0, (adr + 3,))
@@ -223,8 +327,24 @@ class NativeBenchEngine:
                 k_t, (3,), minval=jnp.array([-2.0, -2.0, 1.0]),
                 maxval=jnp.array([2.0, 2.0, 2.5]),
             )
+        elif self.spec.kind == 'command':
+            # velocity commands: vx, vy, yaw rate (anymal_terrain ranges)
+            target = jax.random.uniform(
+                k_t, (3,), minval=jnp.array([-1.0, -0.5, -1.0]),
+                maxval=jnp.array([1.0, 0.5, 1.0]),
+            )
         else:
             target = jnp.zeros(3, jnp.float32)
+        if self.spec.kind == 'cabinet':
+            # drawer starts closed (franka_cabinet reset)
+            qpos = qpos.at[self._drawer_adr].set(0.0)
+        if self.spec.kind == 'balance':
+            # ball starts at a random spot on the tray
+            a = self._ball_adr
+            ball_xy = self._qpos0[a:a + 2] + jax.random.uniform(
+                k_t, (2,), minval=-0.15, maxval=0.15
+            )
+            qpos = jax.lax.dynamic_update_slice(qpos, ball_xy, (a,))
         data = physics.make_data(self.model)
         data = data.replace(
             qpos=qpos, qvel=qvel,

@@ -117,9 +117,38 @@ def constraint_terms(model: Model, qpos, qvel, qacc_free, xpos, xmat, S,
     if nfloor:
         bid = model.con_bodyid
         pw = xpos[bid] + _einsum("cij,cj->ci", xmat[bid], model.con_point)
-        # margin-aware depth (MuJoCo includemargin semantics)
-        depth_f = model.con_radius + model.con_margin - pw[:, 2]
-        blocks.append((_point_jac(bid, pw), depth_f, model.con_friction))
+        Jf = _point_jac(bid, pw)
+        if model.terrain_amp == 0.0:
+            # flat floor: margin-aware depth, normal = +z (frame = identity)
+            depth_f = model.con_radius + model.con_margin - pw[:, 2]
+            blocks.append((Jf, depth_f, model.con_friction))
+        else:
+            # analytic sinusoidal terrain: height + gradient give the
+            # contact depth and surface normal per candidate
+            amp, fx, fy = model.terrain_amp, model.terrain_fx, model.terrain_fy
+            x, y = pw[:, 0], pw[:, 1]
+            hz = amp * jnp.sin(fx * x) * jnp.sin(fy * y)
+            dhdx = amp * fx * jnp.cos(fx * x) * jnp.sin(fy * y)
+            dhdy = amp * fy * jnp.sin(fx * x) * jnp.cos(fy * y)
+            depth_f = model.con_radius + model.con_margin - (pw[:, 2] - hz)
+            n_f = jnp.stack([-dhdx, -dhdy, jnp.ones_like(hz)], axis=-1)
+            n_f = n_f / jnp.linalg.norm(n_f, axis=-1, keepdims=True)
+            t1 = jnp.cross(
+                jnp.broadcast_to(
+                    jnp.array([0.0, 1.0, 0.0], dtype), n_f.shape
+                ),
+                n_f,
+            )
+            t1 = t1 / jnp.maximum(
+                jnp.linalg.norm(t1, axis=-1), 1e-9
+            )[:, None]
+            t2 = jnp.cross(n_f, t1)
+            frame_f = jnp.stack([t1, t2, n_f], axis=-1)
+            blocks.append((
+                _einsum("cvk,ckl->cvl", Jf, frame_f),
+                depth_f,
+                model.con_friction,
+            ))
 
     if npair:
         ba, bb = model.pair_body_a, model.pair_body_b

@@ -122,6 +122,12 @@ class Model:
     # geom-pair contact candidates (sphere-sphere / sphere-box), static list
     # built at load time from contype/conaffinity (collision.py pair block).
     # GUARD robots have none (task geoms are contype=0); bench tasks opt in.
+    # analytic sinusoidal terrain height h(x,y) = amp*sin(fx*x)*sin(fy*y)
+    # replacing the flat floor in the contact depth/normal (rough-terrain
+    # tasks; static => branch resolved at trace time, flat floor pays zero)
+    terrain_amp: float = struct.field(pytree_node=False, default=0.0)
+    terrain_fx: float = struct.field(pytree_node=False, default=1.0)
+    terrain_fy: float = struct.field(pytree_node=False, default=1.0)
     npair: int = struct.field(pytree_node=False, default=0)
     pair_body_a: jnp.ndarray = None  # (npair,) int — sphere side
     pair_body_b: jnp.ndarray = None  # (npair,) int — sphere or box side
@@ -154,7 +160,7 @@ def _np(x):
 
 
 def load_model(mj_model, substeps: int = 1, contact_solref=(0.02, 1.0),
-               self_collision: bool = False) -> tuple:
+               self_collision: bool = False, terrain=None) -> tuple:
     """Extract a device Model from a compiled mujoco.MjModel.
 
     Returns (model, meta) where meta is a host-side dict with name maps:
@@ -299,6 +305,8 @@ def load_model(mj_model, substeps: int = 1, contact_solref=(0.02, 1.0),
                 con_fric.append(fric)
                 con_marg.append(marg)
 
+    terrain_amp, terrain_fx, terrain_fy = (0.0, 1.0, 1.0) if terrain is None else terrain
+
     # static prune: drop candidates that can NEVER activate. If every joint
     # on the chain world->body preserves world z (horizontal slide, or hinge
     # about exactly +-z, with unrotated body frames), the contact point's
@@ -306,7 +314,7 @@ def load_model(mj_model, substeps: int = 1, contact_solref=(0.02, 1.0),
     # already <= 0 it stays inactive forever. This keeps the flagship
     # point robot (slide-slide-yaw, sphere resting exactly at z=radius)
     # entirely contact-free, so the constraint solve never runs there.
-    if con_body:
+    if con_body and terrain_amp == 0.0:
         import mujoco  # host-side MJCF compiler only (module docstring)
 
         d0 = mujoco.MjData(m)
@@ -514,6 +522,9 @@ def load_model(mj_model, substeps: int = 1, contact_solref=(0.02, 1.0),
         lim_dofadr=i32(lim_dofadr),
         lim_qposadr=i32(lim_qposadr),
         lim_range=f32(lim_range),
+        terrain_amp=float(terrain_amp),
+        terrain_fx=float(terrain_fx),
+        terrain_fy=float(terrain_fy),
         npair=npair,
         pair_body_a=i32(pr_ba),
         pair_body_b=i32(pr_bb),
