@@ -13,10 +13,12 @@ Behavioral rebuild of the reference's task-configuration layer
 - ``create_env(args)`` — the single factory dispatching GUARD Engine vs
   Isaac wrappers (reference lines 2597-2614).
 
-Constructibility parity: as in the reference, only the Goal_*_8Hazards
-family passes the Engine's strict config parse (Ghost/Push/Chase/Defense
-keys are legacy-GUARD carryovers the Engine rejects — SURVEY.md §1 L4);
-the registry still returns their configs verbatim.
+Constructibility: the reference Engine only constructs Goal_*_8Hazards
+(Ghost/Push/Chase/Defense keys are legacy-GUARD carryovers its strict
+parse rejects — SURVEY.md §1 L4). This rebuild goes further: the gx task
+families implement Ghost/Push/Chase/Defense natively (engine.py task
+dispatch; tests/test_task_families.py), so every registry grid entry
+constructs. Registry configs keep the reference's key/value content.
 """
 
 from __future__ import annotations

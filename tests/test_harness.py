@@ -196,3 +196,35 @@ def test_external_env_wrapper_pads_cost():
     assert obs.shape == (3, 5)
     obs, rew, done, info = env.step(np.zeros((3, 2)))
     np.testing.assert_array_equal(np.asarray(info['cost']), np.zeros(3))
+
+
+def test_rsl_rl_runner_surface(tmp_path):
+    """rsl_rl OnPolicyRunner surface (reference safe_rl_libX/rsl_rl/
+    train.py:105): learn + save + load + inference policy, natively."""
+    import numpy as np
+
+    from guardx_tpu.envs.bench_tasks import NativeBenchEngine
+    from guardx_tpu.rsl_rl import OnPolicyRunner, resolve_task
+
+    # Isaac Lab task ids resolve to native bench tasks
+    assert resolve_task("Isaac-Cartpole-Direct-v0") == "Cartpole"
+    assert resolve_task("Isaac-Velocity-Rough-Anymal-C-v0") == "AnymalTerrain"
+    assert resolve_task("Isaac-Open-Drawer-Franka-v0") == "FrankaCabinet"
+    assert resolve_task("Isaac-NoSuchThing-v0") is None
+
+    env = NativeBenchEngine("Cartpole", env_num=4, num_steps=8, seed=0)
+    runner = OnPolicyRunner(env, {"seed": 0}, log_dir=str(tmp_path))
+    metrics = runner.learn(2)
+    assert np.isfinite(metrics["EpRet"])
+
+    ckpt = str(tmp_path / "model.pkl")
+    runner.save(ckpt)
+    runner2 = OnPolicyRunner(
+        NativeBenchEngine("Cartpole", env_num=4, num_steps=8, seed=1),
+        {"seed": 1},
+    )
+    runner2.load(ckpt)
+    policy = runner2.get_inference_policy()
+    obs = env.reset()
+    act = policy(obs)
+    assert act.shape == (4, 1)
