@@ -983,12 +983,58 @@ class Engine:
     # rendering (host-side, via mujoco's renderer)
     # ------------------------------------------------------------------
 
+    # colors from the reference overlay palette (engine.py:50-63)
+    COLOR_RED = np.array([1.0, 0.0, 0.0, 1.0])
+    COLOR_GOAL = np.array([0.0, 1.0, 0.0, 1.0])
+    COLOR_HAZARD = np.array([0.0, 0.0, 1.0, 1.0])
+
+    def _overlay_data(self, env_idx: int):
+        """Host-side overlay inputs for one env: robot frame, lidar bins,
+        goal compass, last cost (what the reference's render_lidar/
+        render_compass/violation-sphere consume, engine.py:946-1070)."""
+        from guardx_tpu.envs import obs as obs_mod
+
+        state = self._state
+        robot_pos = np.asarray(state.data.xpos[env_idx, self.body_robot])
+        robot_mat = np.asarray(state.data.xmat[env_idx, self.body_robot])
+        out = {'robot_pos': robot_pos, 'robot_mat': robot_mat,
+               'lidars': [], 'compass': None, 'cost': 0.0}
+        if self._info is not None:
+            out['cost'] = float(np.asarray(self._info['cost'])[env_idx])
+        if self.observe_hazards and self.hazards_num:
+            bins = obs_mod.obs_lidar_pseudo(
+                state.hazards_pos[env_idx],
+                state.data.xpos[env_idx, self.body_robot], state.data.xmat[
+                    env_idx, self.body_robot],
+                self.lidar_num_bins, self.lidar_exp_gain,
+                self.lidar_max_dist, self.lidar_alias,
+            )
+            out['lidars'].append((np.asarray(bins), self.COLOR_HAZARD))
+        if self.observe_goal_lidar:
+            bins = obs_mod.obs_lidar_pseudo(
+                state.goal_pos[env_idx][None, :],
+                state.data.xpos[env_idx, self.body_robot], state.data.xmat[
+                    env_idx, self.body_robot],
+                self.lidar_num_bins, self.lidar_exp_gain,
+                self.lidar_max_dist, self.lidar_alias,
+            )
+            out['lidars'].append((np.asarray(bins), self.COLOR_GOAL))
+        if self.observe_goal_comp:
+            comp = obs_mod.obs_compass(
+                state.goal_pos[env_idx],
+                state.data.xpos[env_idx, self.body_robot], state.data.xmat[
+                    env_idx, self.body_robot],
+            )
+            out['compass'] = np.asarray(comp)
+        return out
+
     def render(self, env_idx: int = 0, width: int = 640, height: int = 480):
-        """Offscreen render of one env (reference engine.py:1036-1070 uses a
-        passive viewer + Renderer). Tries mujoco's GL Renderer; on headless
-        hosts without EGL/OSMesa it falls back to a software top-down
-        painter with the goal/hazard overlays the reference draws as
-        sites."""
+        """Render one env with the reference's overlay semantics
+        (engine.py:1036-1070): lidar marker rings, goal compass marker, and
+        a red violation sphere when cost > 0. Uses a passive viewer +
+        mujoco GL Renderer when a display/GL stack exists; on headless
+        hosts it falls back to a software top-down painter drawing the same
+        overlays."""
         headless = not os.environ.get('DISPLAY') and not os.environ.get('MUJOCO_GL')
         if not headless:
             try:
@@ -996,6 +1042,57 @@ class Engine:
             except Exception:
                 pass
         return self._render_topdown(env_idx, width, height)
+
+    def viewer_setup(self):
+        """Reference camera placement (engine.py:935-944)."""
+        self.viewer.cam.distance = 6
+        self.viewer.cam.lookat[0] = 0
+        self.viewer.cam.lookat[1] = -3
+        self.viewer.cam.lookat[2] = 5
+        self.viewer.cam.elevation = -60
+        self.viewer.cam.azimuth = 90
+
+    def _scene_sphere(self, scene, pos, size, color, alpha):
+        """mjv_initGeom sphere marker (reference render_sphere,
+        engine.py:1014-1035)."""
+        import mujoco
+
+        pos = np.asarray(pos, dtype=np.float64)
+        if pos.shape == (2,):
+            pos = np.r_[pos, 0.0]
+        mujoco.mjv_initGeom(
+            scene.geoms[scene.ngeom],
+            type=mujoco.mjtGeom.mjGEOM_SPHERE,
+            size=float(size) * np.ones(3),
+            pos=pos.flatten(),
+            mat=np.eye(3).flatten(),
+            rgba=np.asarray(color, dtype=np.float32) * alpha,
+        )
+        scene.ngeom += 1
+
+    def _scene_overlays(self, scene, ov):
+        """Draw lidar rings / compass / violation markers into an mjv scene
+        (reference render_lidar + render_compass + the cost>0 sphere)."""
+        robot_pos, robot_mat = ov['robot_pos'], ov['robot_mat']
+        if ov['cost'] > 0:
+            self._scene_sphere(scene, robot_pos, 0.5, self.COLOR_RED, 0.5)
+        offset = 0.5
+        rad = self.render_lidar_radius
+        for bins, color in ov['lidars']:
+            for i, sensor in enumerate(bins):
+                theta = 2 * np.pi * (i + 0.5) / self.lidar_num_bins
+                binpos = np.array(
+                    [np.cos(theta) * rad, np.sin(theta) * rad, offset]
+                )
+                pos = robot_pos + binpos @ robot_mat.T
+                self._scene_sphere(
+                    scene, pos, 0.02, color, min(1.0, float(sensor) + 0.1)
+                )
+            offset += 0.1
+        if ov['compass'] is not None:
+            binpos = np.r_[ov['compass'] * 0.15, offset]
+            pos = robot_pos + binpos @ robot_mat.T
+            self._scene_sphere(scene, pos, 0.05, self.COLOR_GOAL, 0.5)
 
     def _render_mujoco(self, env_idx, width, height):
         import mujoco
@@ -1006,7 +1103,27 @@ class Engine:
         qpos = np.asarray(self._state.data.qpos[env_idx])
         mj_data.qpos[:] = qpos
         mujoco.mj_forward(self.mj_model, mj_data)
-        self.renderer.update_scene(mj_data)
+        if self.viewer is None and os.environ.get('DISPLAY'):
+            try:
+                import mujoco.viewer
+
+                self.viewer = mujoco.viewer.launch_passive(
+                    self.mj_model, mj_data
+                )
+                self.viewer_setup()
+            except Exception:
+                self.viewer = None
+        ov = self._overlay_data(env_idx)
+        if self.viewer is not None:
+            self.viewer.user_scn.ngeom = 0
+            self._scene_overlays(self.viewer.user_scn, ov)
+            self.viewer.sync()
+            self.renderer.update_scene(
+                mj_data, self.viewer.cam, self.viewer.opt
+            )
+        else:
+            self.renderer.update_scene(mj_data)
+        self._scene_overlays(self.renderer._scene, ov)
         return self.renderer.render()
 
     def _render_topdown(self, env_idx, width, height):
@@ -1055,6 +1172,29 @@ class Engine:
         heading = mat @ np.array([0.3, 0.0, 0.0])
         ax.arrow(robot[0], robot[1], heading[0], heading[1],
                  head_width=0.08, color='#cc3333')
+
+        # overlay parity with the mujoco path (reference render_lidar /
+        # render_compass / violation sphere): lidar marker rings around the
+        # robot (alpha = bin intensity), compass dot, red flash on cost>0
+        ov = self._overlay_data(env_idx)
+        if ov['cost'] > 0:
+            ax.add_patch(Circle(robot[:2], 0.5, fill=False, lw=2.5,
+                                color='red', alpha=0.7))
+        rad = self.render_lidar_radius + 0.25
+        for ring, (bins, color) in enumerate(ov['lidars']):
+            rgb = tuple(np.asarray(color[:3], dtype=float))
+            for i, sensor in enumerate(bins):
+                theta = 2 * np.pi * (i + 0.5) / self.lidar_num_bins
+                binpos = np.array([np.cos(theta) * (rad + 0.12 * ring),
+                                   np.sin(theta) * (rad + 0.12 * ring), 0.0])
+                pos = robot + binpos @ mat.T
+                ax.add_patch(Circle(pos[:2], 0.035, color=rgb,
+                                    alpha=min(1.0, float(sensor) + 0.1)))
+        if ov['compass'] is not None:
+            binpos = np.r_[ov['compass'] * 0.3, 0.0]
+            pos = robot + binpos @ mat.T
+            ax.add_patch(Circle(pos[:2], 0.06, color='#33aa33', alpha=0.9))
+
         fig.canvas.draw()
         buf = np.asarray(fig.canvas.buffer_rgba())[:, :, :3].copy()
         plt.close(fig)

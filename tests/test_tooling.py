@@ -60,6 +60,19 @@ def test_engine_software_render():
     assert frame.shape == (240, 320, 3) and frame.dtype == np.uint8
     assert frame.std() > 1  # not a blank image
 
+    # overlay parity (reference render_lidar/render_compass/violation
+    # sphere, engine.py:946-1070): lidar rings + compass resolve from the
+    # live state, and the violation flash keys off info['cost']
+    import jax.numpy as jnp
+
+    env.step(jnp.zeros((2, env.action_space.shape[0])))
+    ov = env._overlay_data(0)
+    assert len(ov['lidars']) == 2  # hazards + goal lidar rings
+    assert ov['lidars'][0][0].shape == (env.lidar_num_bins,)
+    assert ov['compass'] is not None and ov['compass'].shape == (2,)
+    frame2 = env._render_topdown(0, 320, 240)
+    assert frame2.std() > 1
+
 
 def test_video_replay(tmp_path, monkeypatch):
     """End-to-end: train 1 epoch with model_save, then replay to mp4."""
