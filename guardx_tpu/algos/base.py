@@ -162,31 +162,62 @@ def _critic_bf16() -> bool:
     return jax.default_backend() == 'tpu'
 
 
+def _critic_batch(n_rows: int) -> int:
+    """Per-iteration row count for the critic fit. The reference runs 80
+    FULL-batch Adam steps (cpo.py:563-576) — statistically wild overkill at
+    suite scale (80 x 1.6M rows at env_num=8192) and the single largest
+    HBM consumer of the whole epoch (96% of CPO update time, measured).
+    Default: rotating 256k-row slices (the full batch when smaller).
+    GUARDX_CRITIC_BATCH=0 restores reference full-batch numerics; the A/B
+    methodology in LEARNING.md covers this flag too."""
+    import os
+
+    v = os.environ.get('GUARDX_CRITIC_BATCH')
+    cap = 262_144 if v is None else int(v)
+    if cap <= 0:
+        return n_rows
+    return min(n_rows, cap)
+
+
 def fit_critic(apply_fn, params, opt: optax.GradientTransformation, opt_state,
                obs, target, iters: int, w):
-    """`iters` full-batch Adam steps on the MSE (cpo.py:563-576)."""
+    """`iters` Adam steps on the (weighted) MSE (cpo.py:563-576), each on a
+    rotating contiguous slice of the batch (see _critic_batch). Rows arrive
+    (T, B)-flattened, so a contiguous slice spans all envs at a few
+    consecutive timesteps — diverse enough for SGD, and a dynamic_slice is
+    the cheapest possible gather."""
+    n = obs.shape[0]
+    bs = _critic_batch(n)
+    n_slices = max(n // bs, 1)
+
     if _critic_bf16():
         obs_c = obs.astype(jnp.bfloat16)
 
-        def loss_fn(p):
+        def loss_fn(p, o, t, ww):
             p16 = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16), p
             )
-            pred = apply_fn(p16, obs_c).astype(jnp.float32)
-            return wmean((pred - target) ** 2, w)
+            pred = apply_fn(p16, o).astype(jnp.float32)
+            return wmean((pred - t) ** 2, ww)
     else:
-        def loss_fn(p):
-            return wmean((apply_fn(p, obs) - target) ** 2, w)
+        obs_c = obs
 
-    def body(_, carry):
+        def loss_fn(p, o, t, ww):
+            return wmean((apply_fn(p, o) - t) ** 2, ww)
+
+    def body(i, carry):
         p, s = carry
-        grads = jax.grad(loss_fn)(p)
+        start = (i % n_slices) * bs
+        o = jax.lax.dynamic_slice_in_dim(obs_c, start, bs, 0)
+        t = jax.lax.dynamic_slice_in_dim(target, start, bs, 0)
+        ww = jax.lax.dynamic_slice_in_dim(w, start, bs, 0)
+        grads = jax.grad(loss_fn)(p, o, t, ww)
         updates, s = opt.update(grads, s, p)
         p = optax.apply_updates(p, updates)
         return (p, s)
 
     params, opt_state = jax.lax.fori_loop(0, iters, body, (params, opt_state))
-    return params, opt_state, loss_fn(params)
+    return params, opt_state, loss_fn(params, obs_c, target, w)
 
 
 def constraint_violation(aux: dict, target_cost: float, rescale: bool = True):
