@@ -10,6 +10,7 @@ from guardx_tpu.algos.algorithms.scpo import SCPO
 from guardx_tpu.algos.algorithms.qc_family import USL, SafetyLayer, LPG
 from guardx_tpu.algos.algorithms.oe_family import ESPO, AlphaPPO, VMPO, PAPO
 from guardx_tpu.algos.algorithms.issa_family import ISSA, UAISSA
+from guardx_tpu.algos.algorithms.amp import AMP, HRL
 
 REGISTRY = {
     cls.name: cls
@@ -18,6 +19,7 @@ REGISTRY = {
         SCPO, USL, SafetyLayer, LPG,
         ESPO, AlphaPPO, VMPO, PAPO,  # one-episode-only family
         ISSA, UAISSA,  # legacy-layer safe-control family
+        AMP, HRL,  # rl_games learning suite counterparts (IsaacGymEnvs)
     ]
 }
 

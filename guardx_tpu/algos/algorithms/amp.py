@@ -1,0 +1,195 @@
+"""Adversarial Motion Priors (AMP) + latent-steering HRL.
+
+TPU-native counterpart of the reference's rl_games-based learning suite
+(reference: IsaacGymEnvs/isaacgymenvs/learning/amp_continuous.py — PPO +
+a transition discriminator trained demo-vs-policy with gradient penalty,
+style reward blended into the task reward; hrl_continuous.py — a
+high-level policy emitting latents consumed by a pretrained conditional
+low-level controller).
+
+AMP here is PPO plus:
+  - a discriminator D(s, s') over consecutive observation pairs, trained
+    least-squares (demo -> +1, policy -> -1) with a gradient penalty on
+    demo samples (amp_continuous.py _disc_loss structure)
+  - style reward r_s = max(0, 1 - 0.25 (D - 1)^2)  (the AMP paper /
+    amp_continuous.py disc_reward), blended
+    r = task_reward_w * r_task + disc_reward_w * r_s
+    BEFORE GAE via the runner's shape_rewards hook
+  - demo transitions supplied as an (N, 2, obs_dim) array (`demos=`);
+    `record_demo_transitions` builds one from any policy/env pair (the
+    reference loads mocap .npy clips — data this rebuild does not vendor)
+
+HRL: the high-level policy's "action" is a latent z in R^latent_dim; the
+env action comes from a frozen conditional low-level controller
+a = llc_apply(llc_params, obs, z) through the correct_action rollout hook.
+PPO trains the high-level policy on the env task reward. (The reference's
+LLC is an AMP-pretrained conditional policy; any (obs, z) -> action
+callable works here.)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from guardx_tpu.algos import core
+from guardx_tpu.algos.base import wmean
+from guardx_tpu.algos.algorithms.pg_family import PPO
+
+
+def record_demo_transitions(env, policy_fn, steps: int, seed: int = 0):
+    """Roll `policy_fn(obs) -> action` in the (stateful batched) env and
+    record consecutive observation pairs: (steps*B, 2, obs_dim) numpy.
+
+    Stands in for the reference's mocap demo datasets
+    (amp_continuous.py fetch_amp_obs_demo)."""
+    obs = np.asarray(env.reset())
+    pairs = []
+    for _ in range(steps):
+        act = policy_fn(obs)
+        nxt, rew, done, info = env.step(jnp.asarray(act))
+        nxt = np.asarray(nxt)
+        keep = np.asarray(done) < 0.5
+        if keep.any():
+            pairs.append(np.stack([obs[keep], nxt[keep]], axis=1))
+        env.reset_done()
+        obs = np.asarray(env._obs)
+    return np.concatenate(pairs, axis=0)
+
+
+class AMP(PPO):
+    """PPO + adversarial style reward (amp_continuous.py)."""
+
+    name = "amp"
+
+    def __init__(self, demos=None, **hp):
+        hp.setdefault('disc_lr', 1e-3)
+        hp.setdefault('disc_iters', 8)
+        hp.setdefault('disc_batch', 4096)
+        hp.setdefault('disc_grad_penalty', 5.0)
+        hp.setdefault('disc_logit_reg', 0.01)
+        hp.setdefault('task_reward_w', 0.5)
+        hp.setdefault('disc_reward_w', 0.5)
+        hp.setdefault('disc_hidden', (256, 128))
+        super().__init__(**hp)
+        if demos is None:
+            raise ValueError(
+                "AMP requires demo transitions: pass demos=(N, 2, obs_dim) "
+                "(see record_demo_transitions)"
+            )
+        self.demos = jnp.asarray(demos, jnp.float32)
+        self.disc = core.MLP(
+            sizes=tuple(self.hp['disc_hidden']) + (1,), activation='relu'
+        )
+        self._disc_opt = optax.adam(self.hp['disc_lr'])
+
+    # -- discriminator plumbing -------------------------------------------
+
+    def _disc_apply(self, params, pairs):
+        """pairs (..., 2, obs_dim) -> logits (...)"""
+        x = pairs.reshape(pairs.shape[:-2] + (-1,))
+        return self.disc.apply(params, x)[..., 0]
+
+    def init_extra(self, rng, nets):
+        k1, k2 = jax.random.split(rng)
+        dummy = jnp.zeros((1, 2 * nets.obs_dim), jnp.float32)
+        disc = self.disc.init(k1, dummy)
+        return {'disc': disc, 'disc_opt': self._disc_opt.init(disc),
+                'disc_rng': k2}
+
+    def style_reward(self, disc_params, pairs):
+        """LSGAN AMP reward: max(0, 1 - 0.25 (D - 1)^2)."""
+        d = self._disc_apply(disc_params, pairs)
+        return jnp.maximum(0.0, 1.0 - 0.25 * (d - 1.0) ** 2)
+
+    # -- runner hook: blend style reward before GAE ------------------------
+
+    def shape_rewards(self, nets, s, batch):
+        obs = batch['obs']  # (T, B, O)
+        nxt = jnp.concatenate([obs[1:], obs[-1:]], axis=0)
+        pairs = jnp.stack([obs, nxt], axis=2)  # (T, B, 2, O)
+        r_style = self.style_reward(s.extra['disc'], pairs)
+        # a transition across a reset is not a policy transition: fall back
+        # to the task reward alone there (done masks the pair)
+        done = batch['done']
+        w_t, w_s = self.hp['task_reward_w'], self.hp['disc_reward_w']
+        blended = w_t * batch['rew'] + w_s * r_style
+        rew = jnp.where(done > 0.0, batch['rew'], blended)
+        return dict(batch, rew=rew, amp_pairs=pairs)
+
+    # -- update: PPO + discriminator --------------------------------------
+
+    def update(self, nets, s, data, aux, opts):
+        s, metrics = super().update(nets, s, data, aux, opts)
+
+        bs = int(self.hp['disc_batch'])
+        pairs = data['amp_pairs']  # (T*B, 2, O) after flattening
+        rng = s.extra['disc_rng']
+        rng, k_pol, k_demo = jax.random.split(rng, 3)
+        idx_p = jax.random.randint(k_pol, (bs,), 0, pairs.shape[0])
+        idx_d = jax.random.randint(k_demo, (bs,), 0, self.demos.shape[0])
+        pol = pairs[idx_p]
+        demo = self.demos[idx_d]
+        gp_w = self.hp['disc_grad_penalty']
+        logit_reg = self.hp['disc_logit_reg']
+
+        def disc_loss(p):
+            d_demo = self._disc_apply(p, demo)
+            d_pol = self._disc_apply(p, pol)
+            # least-squares GAN targets (amp_continuous.py: demo 1, pol -1)
+            loss = 0.5 * (jnp.mean((d_demo - 1.0) ** 2)
+                          + jnp.mean((d_pol + 1.0) ** 2))
+            # gradient penalty on demo samples
+            g = jax.vmap(jax.grad(
+                lambda x: self._disc_apply(p, x[None])[0]
+            ))(demo)
+            gp = jnp.mean(jnp.sum(g.reshape(bs, -1) ** 2, axis=-1))
+            # logit weight decay
+            reg = sum(jnp.sum(w ** 2) for w in jax.tree_util.tree_leaves(p))
+            return loss + gp_w * gp + logit_reg * reg, (loss, gp)
+
+        def body(_, carry):
+            p, os_ = carry
+            grads, _ = jax.grad(disc_loss, has_aux=True)(p)
+            updates, os_ = self._disc_opt.update(grads, os_, p)
+            return (optax.apply_updates(p, updates), os_)
+
+        disc, disc_opt = jax.lax.fori_loop(
+            0, int(self.hp['disc_iters']), body,
+            (s.extra['disc'], s.extra['disc_opt']),
+        )
+        _, (d_loss, gp) = disc_loss(disc)
+        s = s.replace(extra={**s.extra, 'disc': disc, 'disc_opt': disc_opt,
+                             'disc_rng': rng})
+        metrics = dict(metrics, LossDisc=d_loss, DiscGradPenalty=gp,
+                       StyleReward=jnp.mean(
+                           self.style_reward(disc, pol)
+                       ))
+        return s, metrics
+
+
+class HRL(PPO):
+    """High-level policy over a frozen conditional low-level controller
+    (hrl_continuous.py structure): policy action = latent z, env action =
+    llc_apply(llc_params, obs, z)."""
+
+    name = "hrl"
+
+    def __init__(self, llc_apply=None, llc_params=None, latent_dim: int = 8,
+                 **hp):
+        super().__init__(**hp)
+        if llc_apply is None:
+            raise ValueError(
+                "HRL requires a low-level controller: "
+                "llc_apply(llc_params, obs, z) -> action"
+            )
+        self.llc_apply = llc_apply
+        self.llc_params = llc_params
+        self.act_dim_override = latent_dim
+
+    def correct_action(self, nets, s, obs, a, carry, epoch_frac, rng,
+                       env=None, env_state=None):
+        env_a = self.llc_apply(self.llc_params, obs, a)
+        return env_a, {}

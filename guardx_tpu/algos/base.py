@@ -275,6 +275,11 @@ class Algorithm:
     def process_cost(self, cost, carry, done):
         return cost, carry, {}
 
+    def shape_rewards(self, nets, s: AlgoState, batch):
+        """Post-rollout reward shaping hook (AMP blends its adversarial
+        style reward into batch['rew'] before GAE). Default: identity."""
+        return batch
+
     def fit_critics(self, nets, s: AlgoState, data, v_opt, vc_opt):
         v, v_opt_state, loss_v = fit_critic(
             nets.v_apply, s.v, v_opt, s.v_opt, data['obs'], data['ret'],

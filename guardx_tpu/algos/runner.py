@@ -54,7 +54,10 @@ class Trainer:
         self.B = env.env_num
         self.T = env.num_steps  # max_ep_len == num_steps (create_env wiring)
         obs_dim = env.obs_flat_size + (1 if algo.augments_obs else 0)
-        act_dim = env.action_space.shape[0]
+        # HRL's high-level policy acts in latent space; its correct_action
+        # hook maps latents to env actions through the frozen LLC
+        act_dim = getattr(algo, 'act_dim_override', None) \
+            or env.action_space.shape[0]
         self.nets = Networks(
             obs_dim, act_dim, hidden_sizes, vc_softplus=algo.vc_softplus
         )
@@ -305,6 +308,7 @@ class Trainer:
 
     def _epoch(self, rs: RunnerState, epoch_frac):
         rs, batch, acc = self._rollout(rs, epoch_frac)
+        batch = self.algo.shape_rewards(self.nets, rs.algo, batch)
         data, aux = self._build_data(batch, acc)
         if self.algo.augments_obs:
             # epoch-end episodes contribute their final running max M

@@ -44,6 +44,9 @@ def get_parser() -> argparse.ArgumentParser:
                         help='defaults to the algo name (reference behavior)')
     parser.add_argument('--model_save', action='store_true')
     parser.add_argument('--save_freq', type=int, default=10)
+    parser.add_argument('--amp_demos', type=str, default=None,
+                        help='npz with an (N, 2, obs_dim) "pairs" array of '
+                             'demo transitions (required for --algo amp)')
     parser.add_argument('--one_episode', action='store_true',
                         help='one-episode-per-env epochs (the reference\'s '
                              '*_one_episode variants)')
@@ -93,10 +96,21 @@ def run(args) -> dict:
 
     env = create_env(args)
     algo_cls = REGISTRY[args.algo]
-    algo = algo_cls(
+    algo_kw = dict(
         target_cost=args.target_cost, target_kl=args.target_kl,
         cost_reduction=args.cost_reduction, gamma=args.gamma, lam=args.lam,
     )
+    if args.algo == 'amp':
+        import numpy as _np
+
+        if not getattr(args, 'amp_demos', None):
+            raise SystemExit(
+                "--algo amp needs --amp_demos <file.npz> holding an "
+                "(N, 2, obs_dim) 'pairs' array "
+                "(guardx_tpu.algos.algorithms.amp.record_demo_transitions)"
+            )
+        algo_kw['demos'] = _np.load(args.amp_demos)['pairs']
+    algo = algo_cls(**algo_kw)
     if args.one_episode:
         algo.one_episode = True
 

@@ -23,11 +23,30 @@ def env():
 ALL_ALGOS = sorted(REGISTRY.keys())
 
 
+def _algo_extra_kwargs(name, env):
+    """Required constructor inputs for the rl_games-suite algorithms."""
+    if name == 'amp':
+        rs = np.random.RandomState(0)
+        return {'demos': rs.randn(32, 2, env.obs_flat_size).astype(np.float32),
+                'disc_iters': 2, 'disc_batch': 16}
+    if name == 'hrl':
+        import jax.numpy as jnp
+
+        act_dim = env.action_space.shape[0]
+        rs = np.random.RandomState(0)
+        W_o = jnp.asarray(rs.randn(env.obs_flat_size, act_dim) * 0.1,
+                          jnp.float32)
+        W_z = jnp.asarray(rs.randn(4, act_dim) * 0.3, jnp.float32)
+        return {'llc_apply': lambda p, o, z: jnp.tanh(o @ p[0] + z @ p[1]),
+                'llc_params': (W_o, W_z), 'latent_dim': 4}
+    return {}
+
+
 @pytest.mark.parametrize("name", ALL_ALGOS)
 def test_algorithm_trains(env, name):
     algo = REGISTRY[name](target_cost=0.0, target_kl=0.02,
                           train_v_iters=5, train_vc_iters=5,
-                          backtrack_iters=10)
+                          backtrack_iters=10, **_algo_extra_kwargs(name, env))
     if 'train_pi_iters' in algo.hp:
         algo.hp['train_pi_iters'] = 5
     if 'train_ccritic_iters' in algo.hp:
