@@ -20,9 +20,10 @@ PER_CHIP_TARGET = 10_000_000 / 16  # BASELINE.json north-star, v5e-16
 
 
 def main():
-    # default 8192 envs: the BASELINE.json target scale ("8k+ envs");
-    # 16384 measures ~10% higher still but costs a long first compile
-    env_num = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    # default 16384 envs: the BASELINE.json target scale ("8k+ envs") at
+    # the batch size that best fills the chip (PERF.md scaling table);
+    # whole run incl. compile ~70 s
+    env_num = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
     from guardx_tpu.envs import Engine

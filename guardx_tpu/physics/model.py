@@ -122,6 +122,14 @@ class Model:
     # geom-pair contact candidates (sphere-sphere / sphere-box), static list
     # built at load time from contype/conaffinity (collision.py pair block).
     # GUARD robots have none (task geoms are contype=0); bench tasks opt in.
+    # planar-3dof fast path (point robot): closed-form dynamics replace the
+    # general FK/CRBA pipeline (pipeline._planar3_step). Constants are
+    # static python floats so they fold into the compiled program.
+    fastpath_planar3: bool = struct.field(pytree_node=False, default=False)
+    fp_mass: float = struct.field(pytree_node=False, default=0.0)
+    fp_izz: float = struct.field(pytree_node=False, default=0.0)
+    fp_com: tuple = struct.field(pytree_node=False, default=(0.0, 0.0, 0.0))
+    fp_z0: float = struct.field(pytree_node=False, default=0.0)
     # analytic sinusoidal terrain height h(x,y) = amp*sin(fx*x)*sin(fy*y)
     # replacing the flat floor in the contact depth/normal (rough-terrain
     # tasks; static => branch resolved at trace time, flat floor pays zero)
@@ -471,6 +479,46 @@ def load_model(mj_model, substeps: int = 1, contact_solref=(0.02, 1.0),
     if nlimit == 0:
         lim_dofadr, lim_qposadr, lim_range = [0], [0], [np.zeros(2)]
 
+    # planar-3dof fast-path detection: one moving body on a
+    # [slide-x, slide-y, hinge-z] chain anchored at the body origin, no
+    # constraints of any kind, no springs, unrotated body frame. Exactly
+    # the GUARD point robot (xmls/point.xml). Closed-form dynamics
+    # (pipeline._planar3_step) then replace the general FK/CRBA pipeline —
+    # ~40 ops instead of ~1400 in the per-step program.
+    fastpath = (
+        nbody == 2 and njnt == 3 and nv == 3
+        and ncontact_arr == 0 and nlimit == 0 and npair == 0
+        and terrain_amp == 0.0
+        and jnt_type == [SLIDE, SLIDE, HINGE]
+        and jnt_bodyid == [1, 1, 1]
+        and np.allclose(_np(m.jnt_axis), np.eye(3), atol=1e-9)
+        and np.allclose(_np(m.jnt_pos), 0.0, atol=1e-9)
+        and np.allclose(_np(m.jnt_stiffness), 0.0, atol=1e-12)
+        and np.allclose(_np(m.body_quat[1]), [1, 0, 0, 0], atol=1e-9)
+        and np.allclose(_np(m.opt.gravity[:2]), 0.0, atol=1e-12)
+    )
+    if fastpath:
+        iq = _np(m.body_iquat[1])
+        Ri = np.array([
+            [1 - 2 * (iq[2] ** 2 + iq[3] ** 2),
+             2 * (iq[1] * iq[2] - iq[0] * iq[3]),
+             2 * (iq[1] * iq[3] + iq[0] * iq[2])],
+            [2 * (iq[1] * iq[2] + iq[0] * iq[3]),
+             1 - 2 * (iq[1] ** 2 + iq[3] ** 2),
+             2 * (iq[2] * iq[3] - iq[0] * iq[1])],
+            [2 * (iq[1] * iq[3] - iq[0] * iq[2]),
+             2 * (iq[2] * iq[3] + iq[0] * iq[1]),
+             1 - 2 * (iq[1] ** 2 + iq[2] ** 2)],
+        ])
+        I_world = Ri @ np.diag(_np(m.body_inertia[1])) @ Ri.T
+        fp_izz = float(I_world[2, 2])
+        fp_mass = float(m.body_mass[1])
+        fp_com = tuple(float(v) for v in _np(m.body_ipos[1]))
+        fp_z0 = float(m.body_pos[1, 2])
+    else:
+        fp_izz = fp_mass = fp_z0 = 0.0
+        fp_com = (0.0, 0.0, 0.0)
+
     f32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.float32)
     i32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.int32)
 
@@ -525,6 +573,11 @@ def load_model(mj_model, substeps: int = 1, contact_solref=(0.02, 1.0),
         terrain_amp=float(terrain_amp),
         terrain_fx=float(terrain_fx),
         terrain_fy=float(terrain_fy),
+        fastpath_planar3=bool(fastpath),
+        fp_mass=fp_mass,
+        fp_izz=fp_izz,
+        fp_com=fp_com,
+        fp_z0=fp_z0,
         npair=npair,
         pair_body_a=i32(pr_ba),
         pair_body_b=i32(pr_bb),

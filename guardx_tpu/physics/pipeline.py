@@ -73,6 +73,108 @@ def forward(model: Model, data: Data) -> Data:
     return data.replace(qacc=qacc, xpos=xpos, xquat=xquat, xmat=xmat, xipos=xipos)
 
 
+def _planar3_step(model: Model, data: Data) -> Data:
+    """Closed-form step for the planar 3-dof fast path (point robot:
+    slide-x, slide-y, hinge-z — model.fastpath_planar3).
+
+    Lagrangian dynamics of one rigid body pivoting about its sliding
+    origin: with c(th) = Rz(th) @ com,
+
+        M = [[m, 0, -m cy], [0, m, m cx], [-m cy, m cx, Izz + m |c|^2]]
+        bias = (-m w^2 cx, -m w^2 cy, 0)        (gravity is || z, axis z)
+
+    plus armature on the diagonal and implicit joint damping (h*D on the
+    LHS), integrated semi-implicitly — exactly the general pipeline's
+    scheme, just with the FK/CRBA machinery folded away. Validated
+    element-for-element against the general path (tests/test_physics.py::
+    test_planar3_fastpath_matches_general) and against host MuJoCo
+    (test_point_robot_trajectory_matches_mujoco)."""
+    h = model.timestep / model.substeps
+    mss, izz = model.fp_mass, model.fp_izz
+    c0x, c0y, c0z = model.fp_com
+    r2 = c0x * c0x + c0y * c0y
+    arm = model.dof_armature
+    dmp = model.dof_damping
+
+    def substep(carry, _):
+        qpos, qvel = carry
+        x, y, th = qpos[0], qpos[1], qpos[2]
+        w = qvel[2]
+        ct, st = jnp.cos(th), jnp.sin(th)
+        cx = ct * c0x - st * c0y
+        cy = st * c0x + ct * c0y
+
+        p = mss + arm[0] + h * dmp[0]
+        r = mss + arm[1] + h * dmp[1]
+        t = izz + mss * r2 + arm[2] + h * dmp[2]
+        q = -mss * cy
+        s = mss * cx
+
+        tau = dynamics.actuator_force(model, data.ctrl)
+        w2 = w * w
+        rhs = jnp.stack([
+            tau[0] + mss * w2 * cx - dmp[0] * qvel[0],
+            tau[1] + mss * w2 * cy - dmp[1] * qvel[1],
+            tau[2] - dmp[2] * qvel[2],
+        ])
+
+        # symmetric 3x3 solve, A = [[p,0,q],[0,r,s],[q,s,t]], by adjugate
+        det = p * (r * t - s * s) - q * q * r
+        inv_det = 1.0 / det
+        qacc = jnp.stack([
+            ((r * t - s * s) * rhs[0] + q * s * rhs[1] - q * r * rhs[2])
+            * inv_det,
+            (q * s * rhs[0] + (p * t - q * q) * rhs[1] - p * s * rhs[2])
+            * inv_det,
+            (-q * r * rhs[0] - p * s * rhs[1] + p * r * rhs[2]) * inv_det,
+        ])
+        qvel_new = qvel + h * qacc
+        qpos_new = qpos + h * qvel_new
+        return (qpos_new, qvel_new), qacc
+
+    (qpos, qvel), qaccs = jax.lax.scan(
+        substep, (data.qpos, data.qvel), (), length=model.substeps
+    )
+    qacc = qaccs[-1]
+
+    # pre-integration body frame (MuJoCo step order; see step() docstring):
+    # the LAST substep's input state — exactly data.qpos when substeps == 1
+    # (bit-parity with the general path), else reconstructed
+    if model.substeps == 1:
+        qpos_fk = data.qpos
+    else:
+        qpos_fk = qpos - h * qvel
+    x, y, th = qpos_fk[0], qpos_fk[1], qpos_fk[2]
+    ct, st = jnp.cos(th), jnp.sin(th)
+    z = jnp.zeros((), dtype=qpos.dtype)
+    one = jnp.ones((), dtype=qpos.dtype)
+    xpos = jnp.stack([
+        jnp.stack([z, z, z]),
+        jnp.stack([x, y, jnp.full((), model.fp_z0, qpos.dtype)]),
+    ])
+    half = 0.5 * th
+    xquat = jnp.stack([
+        jnp.stack([one, z, z, z]),
+        jnp.stack([jnp.cos(half), z, z, jnp.sin(half)]),
+    ])
+    R = jnp.stack([
+        jnp.stack([ct, -st, z]),
+        jnp.stack([st, ct, z]),
+        jnp.stack([z, z, one]),
+    ])
+    xmat = jnp.stack([jnp.eye(3, dtype=qpos.dtype), R])
+    com_w = jnp.stack([
+        x + ct * c0x - st * c0y,
+        y + st * c0x + ct * c0y,
+        model.fp_z0 + c0z,
+    ])
+    xipos = jnp.stack([jnp.zeros(3, dtype=qpos.dtype), com_w])
+    return data.replace(
+        qpos=qpos, qvel=qvel, qacc=qacc,
+        xpos=xpos, xquat=xquat, xmat=xmat, xipos=xipos,
+    )
+
+
 def step(model: Model, data: Data) -> Data:
     """Advance one control timestep (model.substeps internal substeps).
 
@@ -83,6 +185,8 @@ def step(model: Model, data: Data) -> Data:
     element-for-element by tests/test_golden_parity.py), and skipping the
     post-integration FK refresh saves one FK per control step.
     """
+    if model.fastpath_planar3:
+        return _planar3_step(model, data)
     h = model.timestep / model.substeps
 
     def substep(carry, _):

@@ -179,6 +179,42 @@ def test_point_robot_trajectory_matches_mujoco():
     np.testing.assert_allclose(np.asarray(data.qpos), mj_data.qpos, atol=2e-2)
 
 
+def test_planar3_fastpath_matches_general():
+    """The closed-form point-robot step (pipeline._planar3_step) must match
+    the general FK/CRBA path element-for-element over a long rollout."""
+    from guardx_tpu.physics import pipeline
+
+    mj_model = mujoco.MjModel.from_xml_string(POINT_XML)
+    model, _ = load_model(mj_model)
+    assert model.fastpath_planar3
+
+    data = make_data(model)
+    data = forward(model, data)
+    ctrl = jnp.array([0.8, -0.4, 0.6])
+    data = data.replace(ctrl=ctrl)
+
+    fast = jax.jit(lambda d: pipeline._planar3_step(model, d))
+    slow_model = model.replace(fastpath_planar3=False)
+    slow = jax.jit(lambda d: step(slow_model, d))
+
+    df, ds = data, data
+    for t in range(100):
+        df = fast(df)
+        ds = slow(ds)
+    np.testing.assert_allclose(np.asarray(df.qpos), np.asarray(ds.qpos),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(df.qvel), np.asarray(ds.qvel),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(df.xpos), np.asarray(ds.xpos),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(df.xmat), np.asarray(ds.xmat),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(df.xipos), np.asarray(ds.xipos),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(df.qacc), np.asarray(ds.qacc),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_point_mass_bias_matches_mujoco():
     mj_model, mj_data = _mj(POINT_XML)
     model, _ = load_model(mj_model)
