@@ -135,5 +135,13 @@ class World:
             )
 
         self.xml_string = ET.tostring(root, encoding="unicode")
+        # debug dump of the compiled world (reference world.py:331-332
+        # writes result.xml unconditionally; here opt-in via env var to
+        # keep the build side-effect free by default)
+        dump = os.environ.get("GUARDX_WORLD_DUMP")
+        if dump:
+            path = dump if dump != "1" else "result.xml"
+            with open(path, "w") as f:
+                f.write(self.xml_string)
         self.model = mujoco.MjModel.from_xml_string(self.xml_string)
         return self.model
