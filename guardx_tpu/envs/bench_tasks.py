@@ -25,6 +25,9 @@ on TPU with no external dependency:
     FrankaCabinet — fixed-base 6-dof arm opens a sliding drawer by its
                     handle (IsaacGymEnvs tasks/franka_cabinet.py;
                     end-effector/handle sphere-box pair)
+    Trifinger     — three 3-dof fingers reposition a free cube to a target
+                    (IsaacGymEnvs tasks/trifinger.py; fingertip-cube
+                    sphere-box pairs + cube-floor corners)
 
 Tasks needing vendored meshes or dexterous-hand models (ShadowHand,
 Allegro*, Trifinger) remain adapter-only (guardx_tpu.envs.wrappers).
@@ -92,6 +95,8 @@ TASKS = {
                              kind='balance', substeps=2),
     'FrankaCabinet': _TaskSpec('cabinet.xml', reset_noise=0.05,
                                kind='cabinet', substeps=2),
+    'Trifinger': _TaskSpec('trifinger.xml', reset_noise=0.05,
+                           kind='trifinger', substeps=2),
 }
 
 CARTPOLE_RESET_DIST = 3.0
@@ -133,6 +138,15 @@ class NativeBenchEngine:
         if spec.kind == 'balance':
             self._ball_adr = self.meta['jnt_name2qposadr']['ball']
             self._ball_body = self.meta['body_name2id']['ball']
+        if spec.kind == 'trifinger':
+            self._cube_adr = self.meta['jnt_name2qposadr']['cube']
+            self._tips = []
+            for i in range(3):
+                gid = self.meta['geom_name2id'][f'f{i}_tip']
+                self._tips.append((
+                    int(self.mj_model.geom_bodyid[gid]),
+                    jnp.asarray(self.mj_model.geom_pos[gid], jnp.float32),
+                ))
         if spec.kind == 'cabinet':
             self._drawer_adr = self.meta['jnt_name2qposadr']['drawer_slide']
             # (body id, body-frame offset) pairs, resolved on the host
@@ -191,6 +205,10 @@ class NativeBenchEngine:
         if self.spec.kind == 'cabinet':
             # arm qpos/qvel (12), handle-ee delta (3), opening pos/vel (2)
             return 17
+        if self.spec.kind == 'trifinger':
+            # finger qpos/qvel (18), cube pose (7), cube linvel (3),
+            # target delta (3)
+            return 31
         # locomotion: qpos minus root xy, full qvel
         return (self.model.nq - 2) + self.model.nv
 
@@ -223,6 +241,14 @@ class NativeBenchEngine:
             return jnp.concatenate([
                 qpos[:6], qvel[:6], handle - ee,
                 qpos[d:d + 1], qvel[d:d + 1],
+            ])
+        if self.spec.kind == 'trifinger':
+            a = self._cube_adr
+            cube_pose = jax.lax.dynamic_slice(qpos, (a,), (7,))
+            cube_vel = jax.lax.dynamic_slice(qvel, (a,), (3,))
+            return jnp.concatenate([
+                qpos[:9], qvel[:9], cube_pose, cube_vel,
+                state.target - cube_pose[:3],
             ])
         return jnp.concatenate([qpos[2:], qvel])
 
@@ -275,6 +301,22 @@ class NativeBenchEngine:
             fell = ball[2] < 0.3  # ball dropped off the tray
             reward = jnp.where(fell, -2.0, reward)
             return reward, fell.astype(jnp.float32)
+        if spec.kind == 'trifinger':
+            a = self._cube_adr
+            cube = jax.lax.dynamic_slice(qpos, (a,), (3,))
+            tips = jnp.stack([
+                self._geom_world(state.data, t) for t in self._tips
+            ])
+            d_reach = jnp.min(jnp.linalg.norm(tips - cube, axis=-1))
+            d_goal2 = jnp.sum((state.target - cube) ** 2)
+            success = d_goal2 < 0.04 ** 2
+            reward = (0.3 / (1.0 + 30.0 * d_reach ** 2)
+                      + 1.0 / (1.0 + 20.0 * d_goal2)
+                      + jnp.where(success, 5.0, 0.0)
+                      - 0.003 * jnp.sum(action ** 2))
+            out_of_arena = jnp.linalg.norm(cube[:2]) > 0.5
+            done = jnp.logical_or(success, out_of_arena)
+            return reward, done.astype(jnp.float32)
         if spec.kind == 'cabinet':
             ee = self._geom_world(state.data, self._ee)
             handle = self._geom_world(state.data, self._handle)
@@ -326,6 +368,12 @@ class NativeBenchEngine:
             target = jax.random.uniform(
                 k_t, (3,), minval=jnp.array([-2.0, -2.0, 1.0]),
                 maxval=jnp.array([2.0, 2.0, 2.5]),
+            )
+        elif self.spec.kind == 'trifinger':
+            # cube target on the table within reach of the fingers
+            target = jax.random.uniform(
+                k_t, (3,), minval=jnp.array([-0.12, -0.12, 0.033]),
+                maxval=jnp.array([0.12, 0.12, 0.034]),
             )
         elif self.spec.kind == 'command':
             # velocity commands: vx, vy, yaw rate (anymal_terrain ranges)

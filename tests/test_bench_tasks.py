@@ -83,7 +83,7 @@ def test_create_env_dispatches_native():
 
 
 @pytest.mark.parametrize("name", ["BallBalance", "FrankaCabinet",
-                                  "AnymalTerrain"])
+                                  "AnymalTerrain", "Trifinger"])
 def test_contact_task_step(name):
     """The pair-contact / terrain tasks (VERDICT r1 #6) construct and step
     with real contact dynamics."""
@@ -94,6 +94,8 @@ def test_contact_task_step(name):
         assert env.model.npair == 1  # end-effector-handle pair
     if name == "AnymalTerrain":
         assert env.model.terrain_amp > 0.0
+    if name == "Trifinger":
+        assert env.model.npair == 3  # three fingertip-cube pairs
     obs = env.reset()
     a = 0.3 * jnp.ones((2,) + env.action_space.shape)
     for _ in range(3):
@@ -101,6 +103,22 @@ def test_contact_task_step(name):
         env.reset_done()
     assert bool(jnp.isfinite(obs).all())
     assert float(jnp.max(jnp.abs(info['cost']))) == 0.0
+
+
+def test_trifinger_finger_pokes_cube():
+    """A scripted single-finger poke displaces the free cube through the
+    fingertip-cube pair contact."""
+    import jax
+
+    env = NativeBenchEngine("Trifinger", env_num=1, num_steps=1000, seed=2)
+    env.reset()
+    a0 = env._cube_adr
+    c0 = np.asarray(env._state.data.qpos[0, a0:a0 + 3]).copy()
+    act = jnp.array([[0., 0., 0.5, 0., -0.5, 0., 0., -0.5, 0.]])
+    for _ in range(60):
+        env.step(act)
+    c1 = np.asarray(env._state.data.qpos[0, a0:a0 + 3])
+    assert np.linalg.norm(c1 - c0) > 0.005, (c0, c1)
 
 
 def test_ball_balance_ball_responds_to_tilt():
@@ -124,7 +142,7 @@ def test_trainer_one_epoch_contact_tasks():
     from guardx_tpu.algos.runner import Trainer
     from guardx_tpu.algos.algorithms import REGISTRY
 
-    for name in ["BallBalance", "FrankaCabinet", "AnymalTerrain"]:
+    for name in ["BallBalance", "FrankaCabinet", "AnymalTerrain", "Trifinger"]:
         env = NativeBenchEngine(name, env_num=2, num_steps=6, seed=0)
         tr = Trainer(env, REGISTRY["ppo"](), seed=0, epochs=1)
         m = tr.run_epoch(0)
