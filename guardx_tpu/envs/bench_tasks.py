@@ -28,6 +28,9 @@ on TPU with no external dependency:
     Trifinger     — three 3-dof fingers reposition a free cube to a target
                     (IsaacGymEnvs tasks/trifinger.py; fingertip-cube
                     sphere-box pairs + cube-floor corners)
+    AllegroHand   — four-finger in-hand cube yaw reorientation on an
+                    upward palm (IsaacGymEnvs tasks/allegro_hand.py;
+                    fingertip-cube pairs + cube-palm box-box corners)
 
 Tasks needing vendored meshes or dexterous-hand models (ShadowHand,
 Allegro*, Trifinger) remain adapter-only (guardx_tpu.envs.wrappers).
@@ -97,6 +100,8 @@ TASKS = {
                                kind='cabinet', substeps=2),
     'Trifinger': _TaskSpec('trifinger.xml', reset_noise=0.05,
                            kind='trifinger', substeps=2),
+    'AllegroHand': _TaskSpec('allegro.xml', reset_noise=0.03,
+                             kind='inhand', substeps=2),
 }
 
 CARTPOLE_RESET_DIST = 3.0
@@ -138,10 +143,11 @@ class NativeBenchEngine:
         if spec.kind == 'balance':
             self._ball_adr = self.meta['jnt_name2qposadr']['ball']
             self._ball_body = self.meta['body_name2id']['ball']
-        if spec.kind == 'trifinger':
+        if spec.kind in ('trifinger', 'inhand'):
             self._cube_adr = self.meta['jnt_name2qposadr']['cube']
             self._tips = []
-            for i in range(3):
+            n_f = 4 if spec.kind == 'inhand' else 3
+            for i in range(n_f):
                 gid = self.meta['geom_name2id'][f'f{i}_tip']
                 self._tips.append((
                     int(self.mj_model.geom_bodyid[gid]),
@@ -209,6 +215,10 @@ class NativeBenchEngine:
             # finger qpos/qvel (18), cube pose (7), cube linvel (3),
             # target delta (3)
             return 31
+        if self.spec.kind == 'inhand':
+            # finger qpos/qvel (24), cube quat (4), cube angvel (3),
+            # cube pos (3), target yaw sin/cos (2)
+            return 36
         # locomotion: qpos minus root xy, full qvel
         return (self.model.nq - 2) + self.model.nv
 
@@ -249,6 +259,17 @@ class NativeBenchEngine:
             return jnp.concatenate([
                 qpos[:9], qvel[:9], cube_pose, cube_vel,
                 state.target - cube_pose[:3],
+            ])
+        if self.spec.kind == 'inhand':
+            a = self._cube_adr
+            cube_pos = jax.lax.dynamic_slice(qpos, (a,), (3,))
+            cube_quat = jax.lax.dynamic_slice(qpos, (a + 3,), (4,))
+            # angular velocity dofs follow the 3 linear ones
+            cube_w = jax.lax.dynamic_slice(qvel, (a + 3,), (3,))
+            ty = state.target[0]
+            return jnp.concatenate([
+                qpos[:12], qvel[:12], cube_quat, cube_w, cube_pos,
+                jnp.stack([jnp.sin(ty), jnp.cos(ty)]),
             ])
         return jnp.concatenate([qpos[2:], qvel])
 
@@ -317,6 +338,23 @@ class NativeBenchEngine:
             out_of_arena = jnp.linalg.norm(cube[:2]) > 0.5
             done = jnp.logical_or(success, out_of_arena)
             return reward, done.astype(jnp.float32)
+        if spec.kind == 'inhand':
+            a = self._cube_adr
+            q = jax.lax.dynamic_slice(qpos, (a + 3,), (4,))
+            w_, x_, y_, z_ = q[0], q[1], q[2], q[3]
+            yaw = jnp.arctan2(2 * (w_ * z_ + x_ * y_),
+                              1 - 2 * (y_ * y_ + z_ * z_))
+            err = yaw - state.target[0]
+            err = jnp.arctan2(jnp.sin(err), jnp.cos(err))  # wrap to [-pi,pi]
+            success = jnp.abs(err) < 0.1
+            cube_z = qpos[a + 2]
+            dropped = cube_z < 0.32
+            reward = (1.0 / (1.0 + 4.0 * err * err)
+                      + jnp.where(success, 5.0, 0.0)
+                      - 0.003 * jnp.sum(action ** 2))
+            reward = jnp.where(dropped, -5.0, reward)
+            done = jnp.logical_or(success, dropped)
+            return reward, done.astype(jnp.float32)
         if spec.kind == 'cabinet':
             ee = self._geom_world(state.data, self._ee)
             handle = self._geom_world(state.data, self._handle)
@@ -369,6 +407,11 @@ class NativeBenchEngine:
                 k_t, (3,), minval=jnp.array([-2.0, -2.0, 1.0]),
                 maxval=jnp.array([2.0, 2.0, 2.5]),
             )
+        elif self.spec.kind == 'inhand':
+            # target yaw for the in-hand reorientation
+            ty = jax.random.uniform(k_t, (), minval=-jnp.pi / 2,
+                                    maxval=jnp.pi / 2)
+            target = jnp.stack([ty, 0.0, 0.0])
         elif self.spec.kind == 'trifinger':
             # cube target on the table within reach of the fingers
             target = jax.random.uniform(

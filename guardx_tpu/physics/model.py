@@ -389,7 +389,9 @@ def load_model(mj_model, substeps: int = 1, contact_solref=(0.02, 1.0),
         ])
 
     def _sphere_points(g):
-        """(points, radius) for a geom treated as one or more spheres."""
+        """(points, radius) for a geom treated as one or more spheres.
+        Boxes contribute their 8 corners (radius 0) — the same sampling the
+        floor path uses, enabling box-box pairs (cube resting on a palm)."""
         gtype = int(m.geom_type[g])
         gpos = _np(m.geom_pos[g])
         size = _np(m.geom_size[g])
@@ -399,6 +401,13 @@ def load_model(mj_model, substeps: int = 1, contact_solref=(0.02, 1.0),
             Rg = _quat_mat(_np(m.geom_quat[g]))
             half = Rg @ np.array([0.0, 0.0, size[1]])
             return [gpos + half, gpos - half], float(size[0])
+        if gtype == GEOM_BOX:
+            Rg = _quat_mat(_np(m.geom_quat[g]))
+            pts = [
+                gpos + Rg @ (size * np.array([sx, sy, sz]))
+                for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)
+            ]
+            return pts, 0.0
         return None, 0.0
 
     for ga in range(ngeom):
@@ -406,11 +415,12 @@ def load_model(mj_model, substeps: int = 1, contact_solref=(0.02, 1.0),
             ta, tb = int(m.geom_type[ga]), int(m.geom_type[gb])
             if ta in (GEOM_PLANE, GEOM_HFIELD) or tb == GEOM_PLANE or tb == GEOM_HFIELD:
                 continue
-            # a must be sphere-like; b sphere-like or box. Order pairs so
-            # each unordered pair appears once: sphere-sphere with ga < gb,
-            # sphere-box always (ga sphere, gb box).
+            # a must be sphere-like (box corners count); b sphere-like or
+            # box. Each unordered pair appears once — except box-box, where
+            # BOTH directions contribute (corners of each box against the
+            # other, the standard point-sampled box-box treatment).
             if tb == GEOM_BOX:
-                if ta not in (GEOM_SPHERE, GEOM_CAPSULE):
+                if ta not in (GEOM_SPHERE, GEOM_CAPSULE, GEOM_BOX):
                     continue
             elif ta in (GEOM_SPHERE, GEOM_CAPSULE) and tb in (GEOM_SPHERE, GEOM_CAPSULE):
                 if ga >= gb:

@@ -83,7 +83,8 @@ def test_create_env_dispatches_native():
 
 
 @pytest.mark.parametrize("name", ["BallBalance", "FrankaCabinet",
-                                  "AnymalTerrain", "Trifinger"])
+                                  "AnymalTerrain", "Trifinger",
+                                  "AllegroHand"])
 def test_contact_task_step(name):
     """The pair-contact / terrain tasks (VERDICT r1 #6) construct and step
     with real contact dynamics."""
@@ -96,6 +97,9 @@ def test_contact_task_step(name):
         assert env.model.terrain_amp > 0.0
     if name == "Trifinger":
         assert env.model.npair == 3  # three fingertip-cube pairs
+    if name == "AllegroHand":
+        # 4 tip-cube + 4 tip-palm + 16 cube/palm box-box corner pairs
+        assert env.model.npair == 24
     obs = env.reset()
     a = 0.3 * jnp.ones((2,) + env.action_space.shape)
     for _ in range(3):
@@ -119,6 +123,20 @@ def test_trifinger_finger_pokes_cube():
         env.step(act)
     c1 = np.asarray(env._state.data.qpos[0, a0:a0 + 3])
     assert np.linalg.norm(c1 - c0) > 0.005, (c0, c1)
+
+
+def test_allegro_twist_rotates_cube():
+    """A coordinated four-finger twist rotates the in-hand cube."""
+    env = NativeBenchEngine("AllegroHand", env_num=1, num_steps=500, seed=1)
+    env.reset()
+    act = jnp.array([[0.8, 0.35, 0.4] * 4])
+    for _ in range(30):
+        env.step(act)
+    a0 = env._cube_adr
+    q = np.asarray(env._state.data.qpos[0, a0 + 3:a0 + 7])
+    yaw = np.arctan2(2 * (q[0] * q[3] + q[1] * q[2]),
+                     1 - 2 * (q[2] ** 2 + q[3] ** 2))
+    assert abs(yaw) > 0.05, f"cube should rotate under a twist, yaw={yaw}"
 
 
 def test_ball_balance_ball_responds_to_tilt():
