@@ -109,7 +109,7 @@ class Trainer:
             self.state = jax.device_put(self.state, shardings)
             self._epoch_jit = jax.jit(
                 self._epoch, donate_argnums=(0,),
-                in_shardings=(shardings, None),
+                in_shardings=(shardings, None, None),
                 # pin outputs too: GSPMD may otherwise return small batch
                 # leaves (e.g. (B,3) goal positions) replicated, which would
                 # fail the next call's in_shardings check
@@ -306,7 +306,7 @@ class Trainer:
         )
         return data, aux
 
-    def _epoch(self, rs: RunnerState, epoch_frac):
+    def _epoch(self, rs: RunnerState, epoch_frac, epoch_idx):
         rs, batch, acc = self._rollout(rs, epoch_frac)
         batch = self.algo.shape_rewards(self.nets, rs.algo, batch)
         data, aux = self._build_data(batch, acc)
@@ -323,9 +323,20 @@ class Trainer:
 
         # full reset for the next epoch: fresh pool + all envs
         # (reference reset at timeout, cpo.py:648; reset_layout resamples the
-        # pool every reset, engine.py:433-444)
+        # pool every reset, engine.py:433-444). gx_pool_refresh_every > 1
+        # reuses the pool between refreshes (both cond branches compile;
+        # only one runs per epoch)
         rng, k_pool, k_env = jax.random.split(rs.rng, 3)
-        pool = self.env.make_layout_pool(k_pool)
+        refresh_every = int(getattr(self.env, 'gx_pool_refresh_every', 1) or 1)
+        if refresh_every <= 1:
+            pool = self.env.make_layout_pool(k_pool)
+        else:
+            pool = jax.lax.cond(
+                (epoch_idx + 1) % refresh_every == 0,
+                lambda k: self.env.make_layout_pool(k),
+                lambda k: rs.pool,
+                k_pool,
+            )
         keys = jax.random.split(k_env, self.B)
         obs, env_state = jax.vmap(
             self.env.reset_single, in_axes=(0, None)
@@ -353,7 +364,9 @@ class Trainer:
         """One epoch; returns a {name: float} metrics dict."""
         t0 = time.time()
         epoch_frac = jnp.float32(epoch / max(self.epochs, 1))
-        self.state, metrics = self._epoch_jit(self.state, epoch_frac)
+        self.state, metrics = self._epoch_jit(
+            self.state, epoch_frac, jnp.int32(epoch)
+        )
         metrics = {k: float(v) for k, v in metrics.items()}
         self.total_steps += self.T * self.B
         metrics['TotalEnvInteracts'] = self.total_steps

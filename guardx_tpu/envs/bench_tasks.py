@@ -506,5 +506,51 @@ class NativeBenchEngine:
         )
         return self._obs
 
+    # -- rendering (video.py replay path) ----------------------------------
+
+    def render(self, env_idx: int = 0, width: int = 640, height: int = 480):
+        """Software side-view painter: body positions as discs sized by
+        geom extent, plus the task target. Bench tasks have no GUARD
+        overlay vocabulary; this keeps video.py's replay path working
+        headless for every native task."""
+        import matplotlib
+
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+
+        d0 = jax.tree_util.tree_map(
+            lambda x: x[env_idx], self._state.data
+        )
+        xpos = np.asarray(d0.xpos)
+        sizes = np.asarray(self.model.geom_size)
+        gbody = np.asarray(self.model.geom_bodyid)
+
+        fig = plt.figure(figsize=(width / 100, height / 100), dpi=100)
+        ax = fig.add_axes([0, 0, 1, 1])
+        ext = max(1.0, float(np.abs(xpos[:, [0, 2]]).max()) * 1.3)
+        ax.set_xlim(-ext, ext)
+        ax.set_ylim(-0.1, max(1.0, ext))
+        ax.set_aspect('equal')
+        ax.set_facecolor('#f2f2f2')
+        ax.axhline(0.0, color='#888888', lw=1.5)  # ground line
+        for g in range(len(gbody)):
+            b = int(gbody[g])
+            if b == 0:
+                continue
+            r = float(max(np.max(sizes[g]), 0.02))
+            ax.add_patch(plt.Circle(
+                (xpos[b, 0], xpos[b, 2]), r, color='#cc4444', alpha=0.6
+            ))
+        tgt = np.asarray(self._state.target[env_idx])
+        if np.any(tgt != 0):
+            ax.add_patch(plt.Circle(
+                (tgt[0], tgt[2] if tgt.shape[0] > 2 else 0.1), 0.05,
+                color='#33aa33', alpha=0.9,
+            ))
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[:, :, :3].copy()
+        plt.close(fig)
+        return buf
+
 
 NATIVE_BENCH_TASKS = sorted(TASKS)

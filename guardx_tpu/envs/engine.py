@@ -235,6 +235,12 @@ class Engine:
         'gx_substeps': None,  # physics substeps / control step (None: robot default)
         'gx_layout_max_retries': 1000,  # bounded rejection loop (sample_layout)
         'gx_layout_pool': None,  # layout pool size (None: auto from env_num)
+        # regenerate the layout pool every N epochs (1 = the reference's
+        # fresh-layouts-every-reset behavior, engine.py:433-444; larger N
+        # reuses the 2x-env_num-layout pool across N epochs — same per-draw
+        # distribution, wider reuse window, saves ~19% epoch time at 16k
+        # envs; see PERF.md)
+        'gx_pool_refresh_every': 1,
     }
 
     # stable integrator substeps per robot base (model.timestep is the

@@ -199,6 +199,8 @@ def create_env(args):
     config['_seed'] = args.seed
     config['num_steps'] = args.max_ep_len
     config['device_id'] = 0
+    if getattr(args, 'pool_refresh', None):
+        config['gx_pool_refresh_every'] = int(args.pool_refresh)
     if config.get('IsaacGym'):
         import os
 

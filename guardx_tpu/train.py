@@ -44,6 +44,9 @@ def get_parser() -> argparse.ArgumentParser:
                         help='defaults to the algo name (reference behavior)')
     parser.add_argument('--model_save', action='store_true')
     parser.add_argument('--save_freq', type=int, default=10)
+    parser.add_argument('--pool_refresh', type=int, default=None,
+                        help='regenerate the layout pool every N epochs '
+                             '(default 1 = reference behavior)')
     parser.add_argument('--amp_demos', type=str, default=None,
                         help='npz with an (N, 2, obs_dim) "pairs" array of '
                              'demo transitions (required for --algo amp)')

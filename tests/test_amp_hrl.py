@@ -47,6 +47,7 @@ def test_amp_epoch_trains_policy_and_discriminator():
     assert m2["LossDisc"] != m1["LossDisc"]
 
 
+@pytest.mark.slow
 def test_amp_style_reward_prefers_demo_like_transitions():
     """After training, D scores demo pairs above random-policy pairs."""
     env = _make_env(n=8, steps=12)

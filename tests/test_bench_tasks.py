@@ -17,6 +17,7 @@ from guardx_tpu.envs.bench_tasks import (
 )
 
 
+@pytest.mark.slow
 def test_all_native_tasks_construct():
     for name in NATIVE_BENCH_TASKS:
         env = NativeBenchEngine(name, env_num=2, num_steps=10)
@@ -24,7 +25,11 @@ def test_all_native_tasks_construct():
         assert env.action_space.shape[0] == env.model.nu
 
 
-@pytest.mark.parametrize("name", ["Cartpole", "Quadcopter", "Anymal"])
+@pytest.mark.parametrize("name", [
+    "Cartpole",
+    pytest.param("Quadcopter", marks=pytest.mark.slow),
+    pytest.param("Anymal", marks=pytest.mark.slow),
+])
 def test_step_reset_cycle(name):
     env = NativeBenchEngine(name, env_num=3, num_steps=8, seed=1)
     obs = env.reset()
@@ -82,9 +87,13 @@ def test_create_env_dispatches_native():
     assert isinstance(env, NativeBenchEngine)
 
 
-@pytest.mark.parametrize("name", ["BallBalance", "FrankaCabinet",
-                                  "AnymalTerrain", "Trifinger",
-                                  "AllegroHand"])
+@pytest.mark.parametrize("name", [
+    "BallBalance",
+    pytest.param("FrankaCabinet", marks=pytest.mark.slow),
+    pytest.param("AnymalTerrain", marks=pytest.mark.slow),
+    pytest.param("Trifinger", marks=pytest.mark.slow),
+    pytest.param("AllegroHand", marks=pytest.mark.slow),
+])
 def test_contact_task_step(name):
     """The pair-contact / terrain tasks (VERDICT r1 #6) construct and step
     with real contact dynamics."""
@@ -109,6 +118,7 @@ def test_contact_task_step(name):
     assert float(jnp.max(jnp.abs(info['cost']))) == 0.0
 
 
+@pytest.mark.slow
 def test_trifinger_finger_pokes_cube():
     """A scripted single-finger poke displaces the free cube through the
     fingertip-cube pair contact."""
@@ -125,6 +135,7 @@ def test_trifinger_finger_pokes_cube():
     assert np.linalg.norm(c1 - c0) > 0.005, (c0, c1)
 
 
+@pytest.mark.slow
 def test_allegro_twist_rotates_cube():
     """A coordinated four-finger twist rotates the in-hand cube."""
     env = NativeBenchEngine("AllegroHand", env_num=1, num_steps=500, seed=1)

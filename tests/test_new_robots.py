@@ -16,7 +16,14 @@ from guardx_tpu.envs import Engine
 from guardx_tpu.envs.registry import configuration
 
 
-ROBOTS = ["hopper", "humanoid", "drone", "arm3", "arm6"]
+# big-morphology robots (humanoid nv=23+, arm6 nv=9 with deep chains) cost
+# minutes of CPU jit each; they run under -m slow, the small ones by default
+ROBOTS = [
+    "hopper", "drone",
+    pytest.param("humanoid", marks=pytest.mark.slow),
+    pytest.param("arm3", marks=pytest.mark.slow),
+    pytest.param("arm6", marks=pytest.mark.slow),
+]
 
 
 @pytest.fixture(scope="module", params=ROBOTS)

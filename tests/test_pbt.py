@@ -140,6 +140,7 @@ def test_snapshot_roundtrip(tmp_path, tiny_env):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_run_pbt_population(tmp_path, tiny_env):
     """3-member population, exploit forced on (zero thresholds): laggards
     adopt the leader's params and mutate hp; training keeps running."""

@@ -258,8 +258,11 @@ class TestContactFidelity:
         "ant.xml": (0.60, 0.50),
     }
 
-    @pytest.mark.parametrize("robot", ["point.xml", "swimmer.xml",
-                                       "walker.xml", "doggo.xml"])
+    @pytest.mark.parametrize("robot", [
+        "point.xml", "swimmer.xml",
+        pytest.param("walker.xml", marks=pytest.mark.slow),
+        pytest.param("doggo.xml", marks=pytest.mark.slow),
+    ])
     def test_contact_trajectory(self, robot):
         self._check(robot)
 

@@ -21,6 +21,10 @@ def env():
 
 
 ALL_ALGOS = sorted(REGISTRY.keys())
+# representative fast subset — one per family (PG, TR, constrained-TR,
+# statewise, Qc, one-episode, safe-set, adversarial); the full 22-algo
+# matrix runs under -m nightly
+FAST_ALGOS = ['ppo', 'trpo', 'cpo', 'scpo', 'usl', 'espo', 'issa', 'amp']
 
 
 def _algo_extra_kwargs(name, env):
@@ -42,7 +46,11 @@ def _algo_extra_kwargs(name, env):
     return {}
 
 
-@pytest.mark.parametrize("name", ALL_ALGOS)
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param(a, marks=[] if a in FAST_ALGOS else [pytest.mark.nightly])
+     for a in ALL_ALGOS],
+)
 def test_algorithm_trains(env, name):
     algo = REGISTRY[name](target_cost=0.0, target_kl=0.02,
                           train_v_iters=5, train_vc_iters=5,
