@@ -31,9 +31,12 @@ on TPU with no external dependency:
     AllegroHand   — four-finger in-hand cube yaw reorientation on an
                     upward palm (IsaacGymEnvs tasks/allegro_hand.py;
                     fingertip-cube pairs + cube-palm box-box corners)
+    ShadowHand(+OpenAI_FF) — five-finger in-hand cube reorientation to a
+                    full target quaternion (IsaacGymEnvs
+                    tasks/shadow_hand.py, the OpenAI cube task)
 
-Tasks needing vendored meshes or dexterous-hand models (ShadowHand,
-Allegro*, Trifinger) remain adapter-only (guardx_tpu.envs.wrappers).
+The remaining registry names (AllegroKuka* and the LSTM policy variants)
+stay adapter-only (guardx_tpu.envs.wrappers).
 
 The reward structures follow the IsaacGym task definitions (progress +
 alive - energy for locomotion; angle/velocity penalties for cartpole;
@@ -63,7 +66,7 @@ class BenchState:
     """Per-environment state for a benchmark task (vmap the leading axis)."""
 
     data: physics.Data
-    target: jnp.ndarray  # (3,) task target point (quadcopter; zeros otherwise)
+    target: jnp.ndarray  # (4,) task target (point / commands / yaw / quat)
     steps: jnp.ndarray  # () int32
     rng: jnp.ndarray
 
@@ -102,7 +105,12 @@ TASKS = {
                            kind='trifinger', substeps=2),
     'AllegroHand': _TaskSpec('allegro.xml', reset_noise=0.03,
                              kind='inhand', substeps=2),
+    'ShadowHand': _TaskSpec('shadow.xml', reset_noise=0.03,
+                            kind='inhand_quat', substeps=2),
 }
+# the OpenAI_FF variant is the same env trained with a feedforward policy
+# (which is what every guardx policy is); same native task
+TASKS['ShadowHandOpenAI_FF'] = TASKS['ShadowHand']
 
 CARTPOLE_RESET_DIST = 3.0
 
@@ -143,10 +151,10 @@ class NativeBenchEngine:
         if spec.kind == 'balance':
             self._ball_adr = self.meta['jnt_name2qposadr']['ball']
             self._ball_body = self.meta['body_name2id']['ball']
-        if spec.kind in ('trifinger', 'inhand'):
+        if spec.kind in ('trifinger', 'inhand', 'inhand_quat'):
             self._cube_adr = self.meta['jnt_name2qposadr']['cube']
             self._tips = []
-            n_f = 4 if spec.kind == 'inhand' else 3
+            n_f = {'trifinger': 3, 'inhand': 4, 'inhand_quat': 5}[spec.kind]
             for i in range(n_f):
                 gid = self.meta['geom_name2id'][f'f{i}_tip']
                 self._tips.append((
@@ -219,6 +227,10 @@ class NativeBenchEngine:
             # finger qpos/qvel (24), cube quat (4), cube angvel (3),
             # cube pos (3), target yaw sin/cos (2)
             return 36
+        if self.spec.kind == 'inhand_quat':
+            # finger qpos/qvel (30), cube quat (4), cube angvel (3),
+            # cube pos (3), target quat (4)
+            return 44
         # locomotion: qpos minus root xy, full qvel
         return (self.model.nq - 2) + self.model.nv
 
@@ -230,11 +242,11 @@ class NativeBenchEngine:
             pos = jnp.stack([qpos[0], qpos[1], qpos[2]])
             yaw = qpos[3]
             return jnp.concatenate([
-                state.target - pos, jnp.stack([jnp.sin(yaw), jnp.cos(yaw)]),
+                state.target[:3] - pos, jnp.stack([jnp.sin(yaw), jnp.cos(yaw)]),
                 qvel,
             ])
         if self.spec.kind == 'command':
-            return jnp.concatenate([qpos[2:], qvel, state.target])
+            return jnp.concatenate([qpos[2:], qvel, state.target[:3]])
         if self.spec.kind == 'balance':
             a = self._ball_adr
             ball = jax.lax.dynamic_slice(qpos, (a,), (3,))
@@ -258,7 +270,7 @@ class NativeBenchEngine:
             cube_vel = jax.lax.dynamic_slice(qvel, (a,), (3,))
             return jnp.concatenate([
                 qpos[:9], qvel[:9], cube_pose, cube_vel,
-                state.target - cube_pose[:3],
+                state.target[:3] - cube_pose[:3],
             ])
         if self.spec.kind == 'inhand':
             a = self._cube_adr
@@ -270,6 +282,15 @@ class NativeBenchEngine:
             return jnp.concatenate([
                 qpos[:12], qvel[:12], cube_quat, cube_w, cube_pos,
                 jnp.stack([jnp.sin(ty), jnp.cos(ty)]),
+            ])
+        if self.spec.kind == 'inhand_quat':
+            a = self._cube_adr
+            cube_pos = jax.lax.dynamic_slice(qpos, (a,), (3,))
+            cube_quat = jax.lax.dynamic_slice(qpos, (a + 3,), (4,))
+            cube_w = jax.lax.dynamic_slice(qvel, (a + 3,), (3,))
+            return jnp.concatenate([
+                qpos[:15], qvel[:15], cube_quat, cube_w, cube_pos,
+                state.target,
             ])
         return jnp.concatenate([qpos[2:], qvel])
 
@@ -292,7 +313,7 @@ class NativeBenchEngine:
             return reward, fell.astype(jnp.float32)
         if spec.kind == 'hover':
             pos = jnp.stack([qpos[0], qpos[1], qpos[2]])
-            dist2 = jnp.sum((state.target - pos) ** 2)
+            dist2 = jnp.sum((state.target[:3] - pos) ** 2)
             pos_reward = 1.0 / (1.0 + dist2)
             spin = qvel[3]
             spin_reward = 0.1 / (1.0 + spin * spin)
@@ -302,7 +323,7 @@ class NativeBenchEngine:
         if spec.kind == 'command':
             # anymal_terrain.py command tracking: exp-shaped linear/angular
             # velocity tracking minus an action-energy penalty
-            cmd = state.target
+            cmd = state.target[:3]
             lin_err = (qvel[0] - cmd[0]) ** 2 + (qvel[1] - cmd[1]) ** 2
             ang_err = (qvel[5] - cmd[2]) ** 2
             reward = (
@@ -329,7 +350,7 @@ class NativeBenchEngine:
                 self._geom_world(state.data, t) for t in self._tips
             ])
             d_reach = jnp.min(jnp.linalg.norm(tips - cube, axis=-1))
-            d_goal2 = jnp.sum((state.target - cube) ** 2)
+            d_goal2 = jnp.sum((state.target[:3] - cube) ** 2)
             success = d_goal2 < 0.04 ** 2
             reward = (0.3 / (1.0 + 30.0 * d_reach ** 2)
                       + 1.0 / (1.0 + 20.0 * d_goal2)
@@ -337,6 +358,23 @@ class NativeBenchEngine:
                       - 0.003 * jnp.sum(action ** 2))
             out_of_arena = jnp.linalg.norm(cube[:2]) > 0.5
             done = jnp.logical_or(success, out_of_arena)
+            return reward, done.astype(jnp.float32)
+        if spec.kind == 'inhand_quat':
+            a = self._cube_adr
+            q = jax.lax.dynamic_slice(qpos, (a + 3,), (4,))
+            q = q / jnp.maximum(jnp.linalg.norm(q), 1e-6)
+            # geodesic rotation distance to the target quaternion
+            dot = jnp.abs(jnp.sum(q * state.target))
+            rot_dist = 2.0 * jnp.arccos(jnp.clip(dot, -1.0, 1.0))
+            success = rot_dist < 0.1
+            cube_z = qpos[a + 2]
+            dropped = cube_z < 0.32
+            # shadow_hand.py rot reward shape: 1/(|d| + eps) scaled
+            reward = (0.2 / (jnp.abs(rot_dist) + 0.1)
+                      + jnp.where(success, 5.0, 0.0)
+                      - 0.003 * jnp.sum(action ** 2))
+            reward = jnp.where(dropped, -5.0, reward)
+            done = jnp.logical_or(success, dropped)
             return reward, done.astype(jnp.float32)
         if spec.kind == 'inhand':
             a = self._cube_adr
@@ -402,30 +440,41 @@ class NativeBenchEngine:
         qvel = 0.1 * noise * jax.random.uniform(
             k_v, (self.model.nv,), minval=-1.0, maxval=1.0
         )
+        pad1 = lambda t: jnp.concatenate([t, jnp.zeros(1, jnp.float32)])
         if self.spec.kind == 'hover':
-            target = jax.random.uniform(
+            target = pad1(jax.random.uniform(
                 k_t, (3,), minval=jnp.array([-2.0, -2.0, 1.0]),
                 maxval=jnp.array([2.0, 2.0, 2.5]),
-            )
+            ))
         elif self.spec.kind == 'inhand':
             # target yaw for the in-hand reorientation
             ty = jax.random.uniform(k_t, (), minval=-jnp.pi / 2,
                                     maxval=jnp.pi / 2)
-            target = jnp.stack([ty, 0.0, 0.0])
+            target = jnp.stack([ty, 0.0, 0.0, 0.0])
         elif self.spec.kind == 'trifinger':
             # cube target on the table within reach of the fingers
-            target = jax.random.uniform(
+            target = pad1(jax.random.uniform(
                 k_t, (3,), minval=jnp.array([-0.12, -0.12, 0.033]),
                 maxval=jnp.array([0.12, 0.12, 0.034]),
-            )
+            ))
         elif self.spec.kind == 'command':
             # velocity commands: vx, vy, yaw rate (anymal_terrain ranges)
-            target = jax.random.uniform(
+            target = pad1(jax.random.uniform(
                 k_t, (3,), minval=jnp.array([-1.0, -0.5, -1.0]),
                 maxval=jnp.array([1.0, 0.5, 1.0]),
-            )
+            ))
+        elif self.spec.kind == 'inhand_quat':
+            # random target orientation: uniform axis, bounded angle
+            # (shadow_hand.py reorientation goal)
+            k_ax, k_an = jax.random.split(k_t)
+            axis = jax.random.normal(k_ax, (3,))
+            axis = axis / jnp.maximum(jnp.linalg.norm(axis), 1e-6)
+            ang = jax.random.uniform(k_an, (), minval=-jnp.pi, maxval=jnp.pi)
+            target = jnp.concatenate([
+                jnp.cos(ang / 2)[None], jnp.sin(ang / 2) * axis
+            ])
         else:
-            target = jnp.zeros(3, jnp.float32)
+            target = jnp.zeros(4, jnp.float32)
         if self.spec.kind == 'cabinet':
             # drawer starts closed (franka_cabinet reset)
             qpos = qpos.at[self._drawer_adr].set(0.0)
