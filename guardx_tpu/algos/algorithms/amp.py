@@ -92,6 +92,12 @@ class AMP(PPO):
         x = pairs.reshape(pairs.shape[:-2] + (-1,))
         return self.disc.apply(params, x)[..., 0]
 
+    def _logit_kernel(self, params):
+        """The final (logit) Dense layer's kernel — the only weights the
+        reference's disc_logit_reg decays."""
+        last = f"Dense_{len(self.hp['disc_hidden'])}"
+        return params['params'][last]['kernel']
+
     def init_extra(self, rng, nets):
         k1, k2 = jax.random.split(rng)
         dummy = jnp.zeros((1, 2 * nets.obs_dim), jnp.float32)
@@ -117,7 +123,13 @@ class AMP(PPO):
         w_t, w_s = self.hp['task_reward_w'], self.hp['disc_reward_w']
         blended = w_t * batch['rew'] + w_s * r_style
         rew = jnp.where(done > 0.0, batch['rew'], blended)
-        return dict(batch, rew=rew, amp_pairs=pairs)
+        # validity of each pair as a genuine policy transition: a done step
+        # crosses a reset, and the final timestep's pair is a degenerate
+        # self-pair (obs[-1], obs[-1]) — both are masked out of
+        # discriminator training (mirrors amp_continuous.py, which only
+        # collects within-episode transitions)
+        pair_valid = (1.0 - done).at[-1, :].set(0.0)
+        return dict(batch, rew=rew, amp_pairs=pairs, amp_pair_valid=pair_valid)
 
     # -- update: PPO + discriminator --------------------------------------
 
@@ -126,11 +138,16 @@ class AMP(PPO):
 
         bs = int(self.hp['disc_batch'])
         pairs = data['amp_pairs']  # (T*B, 2, O) after flattening
+        pair_valid = data['amp_pair_valid']  # (T*B,) 1 = genuine transition
         rng = s.extra['disc_rng']
         rng, k_pol, k_demo = jax.random.split(rng, 3)
         idx_p = jax.random.randint(k_pol, (bs,), 0, pairs.shape[0])
         idx_d = jax.random.randint(k_demo, (bs,), 0, self.demos.shape[0])
         pol = pairs[idx_p]
+        # cross-reset / final-self pairs are not policy transitions: weight
+        # them out of the least-squares loss (same masking the reward blend
+        # already applies)
+        w_pol = pair_valid[idx_p]
         demo = self.demos[idx_d]
         gp_w = self.hp['disc_grad_penalty']
         logit_reg = self.hp['disc_logit_reg']
@@ -140,14 +157,15 @@ class AMP(PPO):
             d_pol = self._disc_apply(p, pol)
             # least-squares GAN targets (amp_continuous.py: demo 1, pol -1)
             loss = 0.5 * (jnp.mean((d_demo - 1.0) ** 2)
-                          + jnp.mean((d_pol + 1.0) ** 2))
+                          + wmean((d_pol + 1.0) ** 2, w_pol))
             # gradient penalty on demo samples
             g = jax.vmap(jax.grad(
                 lambda x: self._disc_apply(p, x[None])[0]
             ))(demo)
             gp = jnp.mean(jnp.sum(g.reshape(bs, -1) ** 2, axis=-1))
-            # logit weight decay
-            reg = sum(jnp.sum(w ** 2) for w in jax.tree_util.tree_leaves(p))
+            # logit weight decay on the FINAL layer's kernel only
+            # (amp_continuous.py regularizes just the logit weights)
+            reg = jnp.sum(self._logit_kernel(p) ** 2)
             return loss + gp_w * gp + logit_reg * reg, (loss, gp)
 
         def body(_, carry):

@@ -188,7 +188,9 @@ def fit_critic(apply_fn, params, opt: optax.GradientTransformation, opt_state,
     the cheapest possible gather."""
     n = obs.shape[0]
     bs = _critic_batch(n)
-    n_slices = max(n // bs, 1)
+    # ceil division so the tail n % bs rows are visited too (the final
+    # slice overlaps: dynamic_slice clamps its start to n - bs)
+    n_slices = max(-(-n // bs), 1)
 
     if _critic_bf16():
         obs_c = obs.astype(jnp.bfloat16)

@@ -33,13 +33,18 @@ def main(argv=None):
     args = get_parser().parse_args(argv)
     args.algo = "ppo"
 
+    # only the Isaac stack imports are allowed to fall through to the
+    # native path — an ImportError raised inside the training run itself
+    # must propagate (and the app must close), not silently retrain natively
     try:  # pragma: no cover - exercised only on Isaac hosts
         import gymnasium as isaaclabgym
         from omni.isaac.lab.app import AppLauncher
+    except ImportError:
+        isaaclabgym = None
 
+    if isaaclabgym is not None:  # pragma: no cover - Isaac hosts only
         app_launcher = AppLauncher(args)
         simulation_app = app_launcher.app
-        from guardx_tpu.envs.wrappers import IsaacLabWrapper
 
         env_unwrapped = isaaclabgym.make(
             args.task, render_mode="rgb_array" if args.video else None
@@ -47,11 +52,10 @@ def main(argv=None):
         args.env_unwrapped = env_unwrapped
         from guardx_tpu.train import run
 
-        out = run(args)
-        simulation_app.close()
-        return out
-    except ImportError:
-        pass
+        try:
+            return run(args)
+        finally:
+            simulation_app.close()
 
     from guardx_tpu.rsl_rl import resolve_task
 

@@ -65,6 +65,37 @@ def make_env(args):
     )
 
 
+def resolve_checkpoint(log_root, load_run, load_checkpoint=None):
+    """Resolve the reference rsl_rl resume convention: --load_run names a
+    run DIRECTORY under the experiment root (not a file), and the model
+    file inside it is chosen by --checkpoint (default: latest model_*.pkl).
+    A direct file path is also accepted."""
+    if os.path.isfile(load_run):
+        return load_run
+    run_dir = (load_run if os.path.isdir(load_run)
+               else os.path.join(log_root, load_run))
+    if not os.path.isdir(run_dir):
+        raise SystemExit(
+            f"--load_run '{load_run}' is neither a checkpoint file nor a "
+            f"run directory under {log_root}"
+        )
+    if load_checkpoint:
+        path = os.path.join(run_dir, load_checkpoint)
+        if not os.path.isfile(path):
+            raise SystemExit(f"checkpoint '{load_checkpoint}' not found "
+                             f"in {run_dir}")
+        return path
+    import glob as _glob
+
+    models = sorted(
+        _glob.glob(os.path.join(run_dir, "model_*.pkl")),
+        key=lambda p: int(os.path.basename(p)[6:-4]),
+    )
+    if not models:
+        raise SystemExit(f"no model_*.pkl checkpoints in {run_dir}")
+    return models[-1]
+
+
 def main(argv=None):
     from guardx_tpu.rsl_rl import OnPolicyRunner, cli_args
 
@@ -82,7 +113,9 @@ def main(argv=None):
 
     runner = OnPolicyRunner(env, agent_cfg, log_dir=log_dir)
     if agent_cfg.get("resume") and agent_cfg.get("load_run"):
-        runner.load(agent_cfg["load_run"])
+        runner.load(resolve_checkpoint(
+            log_root, agent_cfg["load_run"], agent_cfg.get("load_checkpoint")
+        ))
     metrics = runner.learn(num_learning_iterations=args.max_iterations)
     runner.save(os.path.join(log_dir, f"model_{runner.it}.pkl"))
     print({k: float(v) for k, v in (metrics or {}).items()
