@@ -84,12 +84,21 @@ class Trainer:
         n_valid = int(pool.n_valid)
         assert n_valid > 0, "layout pool produced no valid layout"
         if n_valid < self.B:
-            import warnings
-
-            warnings.warn(
+            msg = (
                 f"layout pool has {n_valid} valid layouts for {self.B} envs;"
                 " layouts will repeat (raise gx_layout_pool)"
             )
+            # the reference refuses to run in this state (engine.py:444
+            # `assert layout_size > env_num`): auto-sized or strict pools
+            # hard-fail; only explicitly-undersized pools (tests) warn
+            if getattr(env, 'gx_strict_pool', False) or getattr(
+                env, '_pool_auto', False
+            ):
+                raise ValueError(msg + " — or set gx_strict_pool=False with"
+                                 " an explicit gx_layout_pool to allow")
+            import warnings
+
+            warnings.warn(msg)
         keys = jax.random.split(k_env, self.B)
         obs, env_state = jax.jit(
             jax.vmap(env.reset_single, in_axes=(0, None))
