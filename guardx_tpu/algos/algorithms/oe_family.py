@@ -27,7 +27,8 @@ import optax
 
 from guardx_tpu.algos import core
 from guardx_tpu.algos.base import (
-    Algorithm, AlgoState, Networks, pi_diagnostics, wmean, EPS,
+    Algorithm, AlgoState, Networks, make_mu_logstd_fn, pi_diagnostics,
+    wmean, EPS,
 )
 
 sg = jax.lax.stop_gradient
@@ -91,11 +92,12 @@ class ESPO(Algorithm):
         return {'pi_opt': self._pi_opt.init(pi_params)}
 
     def update(self, nets, s: AlgoState, data, aux, opts):
-        obs, act, adv = data['obs'], data['act'], data['adv']
+        act, adv = data['act'], data['adv']
         logp_old, w = data['logp'], data['valid']
+        mu_fn = make_mu_logstd_fn(nets, data)
 
         def loss_fn(p):
-            mu, log_std = nets.pi_apply(p, obs)
+            mu, log_std = mu_fn(p)
             logp = core.gaussian_logp(mu, log_std, act)
             ratio = jnp.exp(logp - logp_old)
             return -wmean(ratio * adv, w), wmean(logp_old - logp, w)
@@ -108,7 +110,7 @@ class ESPO(Algorithm):
         s = s.replace(pi=pi, extra={**s.extra, 'pi_opt': pi_opt})
         s, critic_metrics = self.fit_critics(nets, s, data, opts['v'], opts['vc'])
 
-        mu, log_std = nets.pi_apply(s.pi, obs)
+        mu, log_std = mu_fn(s.pi)
         logp = core.gaussian_logp(mu, log_std, act)
         deviation = wmean(jnp.abs(jnp.exp(logp - logp_old) - 1.0), w)
         approx_kl, ent = pi_diagnostics(nets, s.pi, data)
@@ -145,15 +147,16 @@ class AlphaPPO(Algorithm):
         return {'pi_opt': self._pi_opt.init(pi_params)}
 
     def update(self, nets, s: AlgoState, data, aux, opts):
-        obs, act, adv = data['obs'], data['act'], data['adv']
+        act, adv = data['act'], data['adv']
         logp_old, mu_old, logstd_old = data['logp'], data['mu'], data['logstd']
         w = data['valid']
         beta = s.extra['beta']
         a = self.hp['alpha']
         tk = self.hp['target_kl']
+        mu_fn = make_mu_logstd_fn(nets, data)
 
         def loss_fn(p):
-            mu, log_std = nets.pi_apply(p, obs)
+            mu, log_std = mu_fn(p)
             logp = core.gaussian_logp(mu, log_std, act)
             ratio = jnp.exp(logp - logp_old)
             akl = alpha_kl(mu_old, logstd_old, mu, log_std, a, w)
@@ -167,7 +170,7 @@ class AlphaPPO(Algorithm):
         )
 
         # post-update precise alpha-KL drives the beta schedule
-        mu, log_std = nets.pi_apply(pi, obs)
+        mu, log_std = mu_fn(pi)
         precise_kl = alpha_kl(mu_old, logstd_old, mu, log_std, a, w)
         beta_new = jnp.where(precise_kl >= tk, 2.0 * beta, 0.5 * beta)
 
@@ -217,9 +220,10 @@ class VMPO(Algorithm):
         return {'pi_opt': self._pi_opt.init(joint)}
 
     def update(self, nets, s: AlgoState, data, aux, opts):
-        obs, act, adv = data['obs'], data['act'], data['adv']
+        act, adv = data['act'], data['adv']
         logp_old, mu_old, logstd_old = data['logp'], data['mu'], data['logstd']
         w = data['valid']
+        mu_fn = make_mu_logstd_fn(nets, data)
         eps_eta, eps_alpha = self.hp['eps_eta'], self.hp['eps_alpha']
         tk = self.hp['target_kl']
 
@@ -234,7 +238,7 @@ class VMPO(Algorithm):
 
         def loss_fn(joint):
             p, eta, alpha = joint['pi'], joint['eta'], joint['alpha']
-            mu, log_std = nets.pi_apply(p, obs)
+            mu, log_std = mu_fn(p)
             logp = core.gaussian_logp(mu, log_std, act)
             # E-step weights with detached temperature
             z = jnp.where(good > 0, adv / sg(eta), -jnp.inf)
@@ -317,16 +321,17 @@ class PAPO(Algorithm):
         return {'pi_opt': self._pi_opt.init(pi_params)}
 
     def update(self, nets, s: AlgoState, data, aux, opts):
-        obs, act, adv = data['obs'], data['act'], data['adv']
+        act, adv = data['act'], data['adv']
         delta_td, val = data['delta'], data['val']
         logp_old, w = data['logp'], data['valid']
+        mu_fn = make_mu_logstd_fn(nets, data)
         clip = self.hp['clip_ratio']
         om1, om2, k = self.hp['omega_1'], self.hp['omega_2'], self.hp['k']
         gamma = self.hp['gamma']
         tk = self.hp['target_kl']
 
         def loss_fn(p):
-            mu, log_std = nets.pi_apply(p, obs)
+            mu, log_std = mu_fn(p)
             logp = core.gaussian_logp(mu, log_std, act)
             ratio = jnp.exp(logp - logp_old)
             clipped = jnp.clip(ratio, 1 - clip, 1 + clip)

@@ -18,8 +18,8 @@ import optax
 from guardx_tpu.algos import core
 from guardx_tpu.algos import trust_region as tr
 from guardx_tpu.algos.base import (
-    Algorithm, AlgoState, Networks, make_pi_closures, pi_diagnostics,
-    wmean, EPS,
+    Algorithm, AlgoState, Networks, make_pi_closures, make_mu_logstd_fn,
+    pi_diagnostics, wmean, EPS,
 )
 from guardx_tpu.algos.algorithms.tr_family import TRPO, _flat_closures
 
@@ -44,13 +44,14 @@ class PPO(Algorithm):
         return {'pi_opt': self._pi_opt.init(pi_params)}
 
     def update(self, nets, s: AlgoState, data, aux, opts):
-        obs, act, adv = data['obs'], data['act'], data['adv']
+        act, adv = data['act'], data['adv']
         logp_old, w = data['logp'], data['valid']
         clip = self.hp['clip_ratio']
         tk = self.hp['target_kl']
+        mu_fn = make_mu_logstd_fn(nets, data)
 
         def loss_fn(p):
-            mu, log_std = nets.pi_apply(p, obs)
+            mu, log_std = mu_fn(p)
             logp = core.gaussian_logp(mu, log_std, act)
             ratio = jnp.exp(logp - logp_old)
             clip_adv = jnp.clip(ratio, 1 - clip, 1 + clip) * adv
@@ -112,10 +113,11 @@ class A2C(Algorithm):
         return {'pi_opt': self._pi_opt.init(pi_params)}
 
     def update(self, nets, s: AlgoState, data, aux, opts):
-        obs, act, adv, w = data['obs'], data['act'], data['adv'], data['valid']
+        act, adv, w = data['act'], data['adv'], data['valid']
+        mu_fn = make_mu_logstd_fn(nets, data)
 
         def loss_fn(p):
-            mu, log_std = nets.pi_apply(p, obs)
+            mu, log_std = mu_fn(p)
             logp = core.gaussian_logp(mu, log_std, act)
             return -wmean(logp * adv, w)
 
@@ -151,15 +153,16 @@ class APO(TRPO):
         self.needs_cost_critic = False
 
     def _apo_loss(self, nets, data):
-        obs, act, adv = data['obs'], data['act'], data['adv']
+        act, adv = data['act'], data['adv']
         delta, val = data['delta'], data['val']
         logp_old, w = data['logp'], data['valid']
+        mu_fn = make_mu_logstd_fn(nets, data)
         k = self.hp['k']
         om1, om2 = self.hp['omega_1'], self.hp['omega_2']
         gamma = self.hp['gamma']
 
         def f(p):
-            mu, log_std = nets.pi_apply(p, obs)
+            mu, log_std = mu_fn(p)
             logp = core.gaussian_logp(mu, log_std, act)
             ratio = jnp.exp(logp - logp_old)
             mean_surr = wmean(ratio * adv, w)

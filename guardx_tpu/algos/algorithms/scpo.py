@@ -74,12 +74,27 @@ class SCPO(CPO):
         return aux['ep_max_cost'] - self.hp['target_cost']
 
     def fit_critics(self, nets, s: AlgoState, data, v_opt, vc_opt):
-        from guardx_tpu.algos.base import fit_critic
+        from guardx_tpu.algos.base import fit_critic, fit_critic_recurrent
+        w = downsample_weights(data['cret'], data['valid'])
+        if nets.recurrent:
+            T, B = data['obs_tb'].shape[:2]
+            v, v_opt_state, loss_v = fit_critic_recurrent(
+                nets.v_seq, s.v, v_opt, s.v_opt, data['obs_tb'],
+                data['done_prev_tb'], data['ret'].reshape(T, B),
+                int(self.hp['train_v_iters']), data['valid'].reshape(T, B),
+            )
+            vc, vc_opt_state, loss_vc = fit_critic_recurrent(
+                nets.vc_seq, s.vc, vc_opt, s.vc_opt, data['obs_tb'],
+                data['done_prev_tb'], data['cret'].reshape(T, B),
+                int(self.hp['train_vc_iters']), w.reshape(T, B),
+            )
+            return s.replace(v=v, v_opt=v_opt_state, vc=vc,
+                             vc_opt=vc_opt_state), \
+                dict(LossV=loss_v, LossVC=loss_vc)
         v, v_opt_state, loss_v = fit_critic(
             nets.v_apply, s.v, v_opt, s.v_opt, data['obs'], data['ret'],
             int(self.hp['train_v_iters']), data['valid'],
         )
-        w = downsample_weights(data['cret'], data['valid'])
         vc, vc_opt_state, loss_vc = fit_critic(
             nets.vc_apply, s.vc, vc_opt, s.vc_opt, data['obs'], data['cret'],
             int(self.hp['train_vc_iters']), w,

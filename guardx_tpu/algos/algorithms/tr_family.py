@@ -23,8 +23,8 @@ import optax
 from guardx_tpu.algos import core
 from guardx_tpu.algos import trust_region as tr
 from guardx_tpu.algos.base import (
-    Algorithm, AlgoState, Networks, make_pi_closures, pi_diagnostics,
-    constraint_violation, wmean, EPS,
+    Algorithm, AlgoState, Networks, make_pi_closures, make_mu_logstd_fn,
+    pi_diagnostics, constraint_violation, wmean, EPS,
 )
 
 
@@ -339,23 +339,21 @@ class TRPOIPO(TRPO):
         per-episode sums come from reset-at-done scans over the (T, B)
         layout, evaluated at the segment-end (done) steps — fixed shapes.
         """
-        obs_tb = data['obs_tb']      # (T, B, O)
-        act_tb = data['act_tb']
-        logp_old_tb = data['logp_tb']
         cost_tb = data['cost_tb']
         done_tb = data['done_tb']    # (T, B) with the final row forced done
         adv, logp_old, w = data['adv'], data['logp'], data['valid']
         tc = self.hp['target_cost']
+        mu_fn = make_mu_logstd_fn(nets, data)
+        T, B_ = done_tb.shape
 
         def f(theta_unraveled):
-            mu, log_std = nets.pi_apply(theta_unraveled, data['obs'])
+            mu, log_std = mu_fn(theta_unraveled)
             logp = core.gaussian_logp(mu, log_std, data['act'])
             ratio = jnp.exp(logp - logp_old)
             loss_pi = -wmean(ratio * adv, w)
 
-            mu_tb, log_std_tb = nets.pi_apply(theta_unraveled, obs_tb)
-            logp_tb = core.gaussian_logp(mu_tb, log_std_tb, act_tb)
-            dlp = logp_tb - logp_old_tb  # (T, B)
+            # flat rows are the (T, B) reshape — one policy eval serves both
+            dlp = (logp - logp_old).reshape(T, B_)  # (T, B)
 
             def seg(carry, xs):
                 lp_sum, c_sum = carry
@@ -441,13 +439,14 @@ class TRPOFAC(TRPO):
         lam_s = jax.lax.stop_gradient(
             lam_net.apply(s.extra['lam_params'], data['obs'])
         )
-        obs, act, adc = data['obs'], data['act'], data['adc']
+        act, adc = data['act'], data['adc']
         logp_old, w = data['logp'], data['valid']
         _, unravel = tr.flatten(s.pi)
+        mu_fn = make_mu_logstd_fn(nets, data)
 
         def f_total(th):
             p = unravel(th)
-            mu, log_std = nets.pi_apply(p, obs)
+            mu, log_std = mu_fn(p)
             logp = core.gaussian_logp(mu, log_std, act)
             ratio = jnp.exp(logp - logp_old)
             return -wmean(ratio * data['adv'], w) + wmean(lam_s * ratio * adc, w)

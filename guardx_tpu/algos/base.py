@@ -36,6 +36,8 @@ class AlgoState:
 class Networks:
     """Static bundle of network modules + apply fns (not a pytree)."""
 
+    recurrent = False
+
     def __init__(self, obs_dim: int, act_dim: int, hidden_sizes=(64, 64),
                  vc_softplus: bool = False):
         self.obs_dim, self.act_dim = obs_dim, act_dim
@@ -58,6 +60,79 @@ class Networks:
         return pi, v, vc
 
 
+class RecurrentNetworks(Networks):
+    """LSTM actor-critic bundle (the reference's rl_games LSTM policies —
+    ShadowHandOpenAI_LSTM / AllegroKuka*LSTM registry names,
+    safe_rl_env_config.py:2455-2566).
+
+    Single-step applies take and return an LSTM carry per net; sequence
+    applies replay a whole (T, B) rollout from the epoch-start zero carry,
+    resetting at the recorded done flags — exactly reproducing the
+    distributions the rollout sampled from, so trust-region closures
+    differentiate through the sequence."""
+
+    recurrent = True
+
+    def __init__(self, obs_dim: int, act_dim: int, hidden_sizes=(64,),
+                 lstm_size: int = 64, vc_softplus: bool = False):
+        self.obs_dim, self.act_dim = obs_dim, act_dim
+        self.lstm_size = lstm_size
+        self.actor = core.RecurrentGaussianActor(
+            act_dim=act_dim, hidden_sizes=hidden_sizes, lstm_size=lstm_size
+        )
+        self.critic = core.RecurrentCritic(
+            hidden_sizes=hidden_sizes, lstm_size=lstm_size
+        )
+        self.vc_critic = core.RecurrentCritic(
+            hidden_sizes=hidden_sizes, lstm_size=lstm_size,
+            softplus_head=vc_softplus,
+        )
+        # step applies: (params, obs, carry) -> (out, carry')
+        self.pi_apply = self.actor.apply
+        self.v_apply = self.critic.apply
+        self.vc_apply = self.vc_critic.apply
+
+    def init(self, rng):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        dummy = jnp.zeros((1, self.obs_dim), jnp.float32)
+        carry = core.zero_carry((1,), self.lstm_size)
+        pi = self.actor.init(k1, dummy, carry)
+        v = self.critic.init(k2, dummy, carry)
+        vc = self.vc_critic.init(k3, dummy, carry)
+        return pi, v, vc
+
+    def init_hidden(self, B: int):
+        """Per-net zero carries for a batch of B envs."""
+        z = lambda: core.zero_carry((B,), self.lstm_size)
+        return {'pi': z(), 'v': z(), 'vc': z()}
+
+    def _seq(self, apply_fn, params, obs_tb, done_prev_tb):
+        """Replay apply_fn over a (T, B, ...) sequence from zero carry,
+        resetting the carry where the PREVIOUS step ended (done_prev[0]=0:
+        every epoch starts from a full env reset, runner.py epoch-end)."""
+        B = obs_tb.shape[1]
+        carry0 = core.zero_carry((B,), self.lstm_size)
+
+        def step(carry, inp):
+            o, dprev = inp
+            carry = core.mask_carry(carry, dprev)
+            out, carry = apply_fn(params, o, carry)
+            return carry, out
+
+        _, outs = jax.lax.scan(step, carry0, (obs_tb, done_prev_tb))
+        return outs
+
+    def pi_seq(self, params, obs_tb, done_prev_tb):
+        """(T, B, O) -> ((T, B, A) mu, (T, B, A) log_std)."""
+        return self._seq(self.pi_apply, params, obs_tb, done_prev_tb)
+
+    def v_seq(self, params, obs_tb, done_prev_tb):
+        return self._seq(self.v_apply, params, obs_tb, done_prev_tb)
+
+    def vc_seq(self, params, obs_tb, done_prev_tb):
+        return self._seq(self.vc_apply, params, obs_tb, done_prev_tb)
+
+
 def wmean(x, w):
     """Weighted mean (w=1 everywhere reduces to the reference's .mean())."""
     return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
@@ -70,6 +145,29 @@ def weighted_gaussian_kl(mu0, log_std0, mu1, log_std1, w):
     return wmean(jnp.sum(pre, axis=-1), w)
 
 
+def make_mu_logstd_fn(nets: Networks, data: dict):
+    """The ONE place update rules get the policy distribution at new params:
+
+    returns f(pi_params) -> (mu, log_std) flattened to (T*B, A), matching
+    data['act']/data['logp'] row order. Feedforward nets apply to the flat
+    observation matrix; recurrent nets replay the (T, B) sequence from the
+    epoch-start zero carry with the recorded done resets (identical to what
+    the rollout sampled from)."""
+    if nets.recurrent:
+        obs_tb, done_prev = data['obs_tb'], data['done_prev_tb']
+
+        def f(params):
+            mu, log_std = nets.pi_seq(params, obs_tb, done_prev)
+            flat = lambda x: x.reshape((-1,) + x.shape[2:])
+            return flat(mu), flat(log_std)
+    else:
+        obs = data['obs']
+
+        def f(params):
+            return nets.pi_apply(params, obs)
+    return f
+
+
 def make_pi_closures(nets: Networks, data: dict):
     """Flat-theta closures over the rollout data for the TR machinery:
 
@@ -77,24 +175,25 @@ def make_pi_closures(nets: Networks, data: dict):
     matching the reference's compute_loss_pi / compute_cost_pi /
     compute_kl_pi (cpo.py:362-405).
     """
-    obs, act, adv, adc = data['obs'], data['act'], data['adv'], data['adc']
+    act, adv, adc = data['act'], data['adv'], data['adc']
     logp_old, mu_old, logstd_old = data['logp'], data['mu'], data['logstd']
     w = data['valid']
+    mu_fn = make_mu_logstd_fn(nets, data)
 
     def loss_pi(params):
-        mu, log_std = nets.pi_apply(params, obs)
+        mu, log_std = mu_fn(params)
         logp = core.gaussian_logp(mu, log_std, act)
         ratio = jnp.exp(logp - logp_old)
         return -wmean(ratio * adv, w)
 
     def surr_cost(params):
-        mu, log_std = nets.pi_apply(params, obs)
+        mu, log_std = mu_fn(params)
         logp = core.gaussian_logp(mu, log_std, act)
         ratio = jnp.exp(logp - logp_old)
         return wmean(ratio * adc, w)
 
     def kl(params):
-        mu, log_std = nets.pi_apply(params, obs)
+        mu, log_std = mu_fn(params)
         return weighted_gaussian_kl(mu_old, logstd_old, mu, log_std, w)
 
     return loss_pi, surr_cost, kl
@@ -118,6 +217,33 @@ def make_curvature_kl(nets: Networks, data: dict, max_n: int | None = None):
 
     if max_n is None:
         max_n = int(os.environ.get('GUARDX_FVP_SAMPLES', FVP_MAX_SAMPLES))
+
+    if nets.recurrent:
+        # a recurrent KL must replay whole sequences: subsample the ENV
+        # axis (full T per kept env) instead of flat rows
+        obs_tb, done_prev = data['obs_tb'], data['done_prev_tb']
+        T, B = obs_tb.shape[:2]
+        mu_old = data['mu'].reshape(T, B, -1)
+        logstd_old = data['logstd'].reshape(T, B, -1)
+        w = data['valid'].reshape(T, B)
+        if max_n and T * B > max_n:
+            stride = -(-(T * B) // max_n)
+            obs_tb, done_prev = obs_tb[:, ::stride], done_prev[:, ::stride]
+            mu_old, logstd_old = mu_old[:, ::stride], logstd_old[:, ::stride]
+            w = w[:, ::stride]
+
+        def kl(params):
+            mu, log_std = nets.pi_seq(params, obs_tb, done_prev)
+            return weighted_gaussian_kl(
+                mu_old.reshape(-1, mu.shape[-1]),
+                logstd_old.reshape(-1, mu.shape[-1]),
+                mu.reshape(-1, mu.shape[-1]),
+                log_std.reshape(-1, mu.shape[-1]),
+                w.reshape(-1),
+            )
+
+        return kl
+
     obs, mu_old, logstd_old, w = (
         data['obs'], data['mu'], data['logstd'], data['valid']
     )
@@ -137,9 +263,8 @@ def make_curvature_kl(nets: Networks, data: dict, max_n: int | None = None):
 
 def pi_diagnostics(nets: Networks, params, data):
     """approx_kl and entropy at current params (cpo.py:400-403)."""
-    obs, act = data['obs'], data['act']
-    w = data['valid']
-    mu, log_std = nets.pi_apply(params, obs)
+    act, w = data['act'], data['valid']
+    mu, log_std = make_mu_logstd_fn(nets, data)(params)
     logp = core.gaussian_logp(mu, log_std, act)
     approx_kl = wmean(data['logp'] - logp, w)
     ent = wmean(core.gaussian_entropy(log_std), w)
@@ -222,6 +347,28 @@ def fit_critic(apply_fn, params, opt: optax.GradientTransformation, opt_state,
     return params, opt_state, loss_fn(params, obs_c, target, w)
 
 
+def fit_critic_recurrent(seq_apply, params, opt, opt_state, obs_tb,
+                         done_prev_tb, target_tb, iters: int, w_tb):
+    """`iters` Adam steps on the sequence MSE for a recurrent critic.
+
+    Each step replays the full (T, B) sequence (the LSTM carry threads from
+    t=0, so the row-slicing of the feedforward fit can't apply); the
+    batch already spans all envs, plenty diverse for Adam."""
+
+    def loss_fn(p):
+        pred = seq_apply(p, obs_tb, done_prev_tb)
+        return wmean((pred - target_tb) ** 2, w_tb)
+
+    def body(_, carry):
+        p, s = carry
+        grads = jax.grad(loss_fn)(p)
+        updates, s = opt.update(grads, s, p)
+        return (optax.apply_updates(p, updates), s)
+
+    params, opt_state = jax.lax.fori_loop(0, iters, body, (params, opt_state))
+    return params, opt_state, loss_fn(params)
+
+
 def constraint_violation(aux: dict, target_cost: float, rescale: bool = True):
     """c = (EpCost - target_cost) / EpLen (cpo.py:449-456).
 
@@ -283,6 +430,27 @@ class Algorithm:
         return batch
 
     def fit_critics(self, nets, s: AlgoState, data, v_opt, vc_opt):
+        if nets.recurrent:
+            T, B = data['obs_tb'].shape[:2]
+            ret_tb = data['ret'].reshape(T, B)
+            cret_tb = data['cret'].reshape(T, B)
+            w_tb = data['valid'].reshape(T, B)
+            v, v_opt_state, loss_v = fit_critic_recurrent(
+                nets.v_seq, s.v, v_opt, s.v_opt, data['obs_tb'],
+                data['done_prev_tb'], ret_tb,
+                int(self.hp['train_v_iters']), w_tb,
+            )
+            if self.needs_cost_critic:
+                vc, vc_opt_state, loss_vc = fit_critic_recurrent(
+                    nets.vc_seq, s.vc, vc_opt, s.vc_opt, data['obs_tb'],
+                    data['done_prev_tb'], cret_tb,
+                    int(self.hp['train_vc_iters']), w_tb,
+                )
+            else:
+                vc, vc_opt_state, loss_vc = s.vc, s.vc_opt, jnp.float32(0.0)
+            return s.replace(v=v, v_opt=v_opt_state, vc=vc,
+                             vc_opt=vc_opt_state), \
+                dict(LossV=loss_v, LossVC=loss_vc)
         v, v_opt_state, loss_v = fit_critic(
             nets.v_apply, s.v, v_opt, s.v_opt, data['obs'], data['ret'],
             int(self.hp['train_v_iters']), data['valid'],

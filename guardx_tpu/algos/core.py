@@ -96,6 +96,77 @@ class LambdaNet(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# recurrent (LSTM) networks
+# ---------------------------------------------------------------------------
+#
+# The reference's flagship workloads are rl_games LSTM policies
+# (AllegroKukaTwoArmsLSTM / ShadowHandOpenAI_LSTM — reference train.py:7-14,
+# safe_rl_libX/guard_utils/safe_rl_env_config.py:2455-2566). The TPU-native
+# design: an MLP encoder feeding one LSTM cell, exposed as a SINGLE-STEP
+# pure function (obs, carry) -> (out, carry'). The rollout threads the
+# carry through the epoch `lax.scan` (reset at done); update-time replay
+# re-runs the same scan from the epoch-start zero state, so trust-region
+# closures (loss/KL/FVP) differentiate through the sequence with no stored
+# hidden states beyond the done flags.
+
+
+class RecurrentGaussianActor(nn.Module):
+    """Diagonal-gaussian policy with memory: MLP encoder -> LSTM -> mean
+    head; state-independent log_std like the MLP actor."""
+
+    act_dim: int
+    hidden_sizes: Sequence[int] = (64,)
+    lstm_size: int = 64
+    activation: str = "tanh"
+
+    @nn.compact
+    def __call__(self, obs, carry):
+        act = dict(tanh=nn.tanh, relu=nn.relu)[self.activation]
+        x = obs
+        for h in self.hidden_sizes:
+            x = act(nn.Dense(h)(x))
+        carry, y = nn.OptimizedLSTMCell(self.lstm_size)(carry, x)
+        mu = nn.Dense(self.act_dim)(y)
+        log_std = self.param(
+            "log_std", lambda k: -0.5 * jnp.ones(self.act_dim, jnp.float32)
+        )
+        return (mu, jnp.broadcast_to(log_std, mu.shape)), carry
+
+
+class RecurrentCritic(nn.Module):
+    """Scalar critic with memory: MLP encoder -> LSTM -> value head."""
+
+    hidden_sizes: Sequence[int] = (64,)
+    lstm_size: int = 64
+    activation: str = "tanh"
+    softplus_head: bool = False
+
+    @nn.compact
+    def __call__(self, obs, carry):
+        act = dict(tanh=nn.tanh, relu=nn.relu)[self.activation]
+        x = obs
+        for h in self.hidden_sizes:
+            x = act(nn.Dense(h)(x))
+        carry, y = nn.OptimizedLSTMCell(self.lstm_size)(carry, x)
+        v = jnp.squeeze(nn.Dense(1)(y), -1)
+        if self.softplus_head:
+            v = jax.nn.softplus(v)
+        return v, carry
+
+
+def zero_carry(batch_shape, lstm_size):
+    """Zero LSTM carry (c, h) for a given batch shape ((), (B,), ...)."""
+    shape = tuple(batch_shape) + (lstm_size,)
+    return (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+
+
+def mask_carry(carry, done):
+    """Reset the carry where done (done broadcast against the feature dim)."""
+    keep = (1.0 - done)[..., None]
+    return jax.tree_util.tree_map(lambda x: x * keep, carry)
+
+
+# ---------------------------------------------------------------------------
 # distribution math
 # ---------------------------------------------------------------------------
 

@@ -46,7 +46,8 @@ class Trainer:
     """Binds an Engine, an Algorithm, and networks into a jitted epoch."""
 
     def __init__(self, env: Engine, algo: Algorithm, seed: int = 0,
-                 hidden_sizes=(64, 64), epochs: int = 100, mesh=None):
+                 hidden_sizes=(64, 64), epochs: int = 100, mesh=None,
+                 recurrent: bool = False, lstm_size: int = 64):
         self.env = env
         self.algo = algo
         self.epochs = epochs
@@ -58,9 +59,20 @@ class Trainer:
         # hook maps latents to env actions through the frozen LLC
         act_dim = getattr(algo, 'act_dim_override', None) \
             or env.action_space.shape[0]
-        self.nets = Networks(
-            obs_dim, act_dim, hidden_sizes, vc_softplus=algo.vc_softplus
-        )
+        if recurrent:
+            # LSTM actor-critic (the reference's rl_games LSTM workloads —
+            # reference train.py:7-14); hidden state threads through the
+            # rollout scan and resets at done
+            from guardx_tpu.algos.base import RecurrentNetworks
+
+            self.nets = RecurrentNetworks(
+                obs_dim, act_dim, hidden_sizes, lstm_size=lstm_size,
+                vc_softplus=algo.vc_softplus,
+            )
+        else:
+            self.nets = Networks(
+                obs_dim, act_dim, hidden_sizes, vc_softplus=algo.vc_softplus
+            )
 
         rng = jax.random.PRNGKey(seed)
         rng, k_net, k_extra, k_env, k_pool = jax.random.split(rng, 5)
@@ -130,13 +142,21 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def _policy_step(self, astate: AlgoState, obs_pi, rng):
-        mu, log_std = self.nets.pi_apply(astate.pi, obs_pi)
+    def _policy_step(self, astate: AlgoState, obs_pi, rng, hid=None):
+        if self.nets.recurrent:
+            (mu, log_std), h_pi = self.nets.pi_apply(
+                astate.pi, obs_pi, hid['pi']
+            )
+            v, h_v = self.nets.v_apply(astate.v, obs_pi, hid['v'])
+            vc, h_vc = self.nets.vc_apply(astate.vc, obs_pi, hid['vc'])
+            hid = {'pi': h_pi, 'v': h_v, 'vc': h_vc}
+        else:
+            mu, log_std = self.nets.pi_apply(astate.pi, obs_pi)
+            v = self.nets.v_apply(astate.v, obs_pi)
+            vc = self.nets.vc_apply(astate.vc, obs_pi)
         a = core.gaussian_sample(rng, mu, log_std)
         logp = core.gaussian_logp(mu, log_std, a)
-        v = self.nets.v_apply(astate.v, obs_pi)
-        vc = self.nets.vc_apply(astate.vc, obs_pi)
-        return a, v, vc, logp, mu, log_std
+        return a, v, vc, logp, mu, log_std, hid
 
     def _rollout(self, rs: RunnerState, epoch_frac):
         """lax.scan over T env steps. Returns (rs, batch, metrics_accum)."""
@@ -144,7 +164,7 @@ class Trainer:
         B = self.B
 
         def step_fn(carry, _):
-            env_state, obs, rcarry, rng, acc = carry
+            env_state, obs, rcarry, hid, rng, acc = carry
             rng, k_act, k_corr = jax.random.split(rng, 3)
             # trainer-level NaN/Inf obs scrub (reference
             # trpo_one_episode/trpo.py:453-454: o[o.isnan()]=0,
@@ -152,8 +172,8 @@ class Trainer:
             # this keeps the policy/critic inputs finite in that step
             obs = jnp.nan_to_num(obs, nan=0.0, posinf=0.0, neginf=0.0)
             obs_pi = algo.obs_for_policy(obs, rcarry)
-            a, v, vc, logp, mu, log_std = self._policy_step(
-                rs.algo, obs_pi, k_act
+            a, v, vc, logp, mu, log_std, hid = self._policy_step(
+                rs.algo, obs_pi, k_act, hid
             )
             a_exec, act_extra = algo.correct_action(
                 nets, rs.algo, obs_pi, a, rcarry, epoch_frac, k_corr,
@@ -219,7 +239,13 @@ class Trainer:
                     jnp.any(done > 0), do_reset, lambda args: args,
                     (env_state, obs2),
                 )
-            return (env_state, obs2, rcarry, rng, acc), out
+            if self.nets.recurrent:
+                # reset memory where the episode ended — update-time replay
+                # applies the same mask via done_prev_tb (base.pi_seq)
+                hid = jax.tree_util.tree_map(
+                    lambda x: x * (1.0 - done)[:, None], hid
+                )
+            return (env_state, obs2, rcarry, hid, rng, acc), out
 
         acc0 = dict(
             ep_ret=jnp.zeros(B), ep_cost=jnp.zeros(B),
@@ -233,9 +259,12 @@ class Trainer:
         if self.algo.augments_obs:
             acc0['sum_ep_max_cost'] = jnp.float32(0.0)
 
-        (env_state, obs, rcarry, rng, acc), batch = jax.lax.scan(
+        # LSTM carries start at zero: every epoch begins from a full env
+        # reset (runner epoch-end), so no hidden state crosses epochs
+        hid0 = self.nets.init_hidden(B) if self.nets.recurrent else None
+        (env_state, obs, rcarry, _, rng, acc), batch = jax.lax.scan(
             step_fn,
-            (rs.env_state, rs.obs, rs.rollout_carry, rs.rng, acc0),
+            (rs.env_state, rs.obs, rs.rollout_carry, hid0, rs.rng, acc0),
             (), length=self.T,
         )
         rs = rs.replace(
@@ -287,6 +316,11 @@ class Trainer:
             obs_tb=batch['obs'], act_tb=batch['act'],
             logp_tb=batch['logp'], cost_tb=batch['cost'],
             done_tb=done_gae, qc_tb=batch.get('qc', jnp.zeros((T, B))),
+            # the done flag that gated each step's LSTM carry INTO the step
+            # (row 0 is the epoch-start full reset) — recurrent replay mask
+            done_prev_tb=jnp.concatenate(
+                [jnp.zeros((1, B), done.dtype), done[:-1]], axis=0
+            ),
         )
         # pass algorithm-specific rollout extras through flattened (e.g.
         # UAISSA's (d, ddot) dynamics targets)

@@ -35,8 +35,14 @@ on TPU with no external dependency:
                     full target quaternion (IsaacGymEnvs
                     tasks/shadow_hand.py, the OpenAI cube task)
 
-The remaining registry names (AllegroKuka* and the LSTM policy variants)
-stay adapter-only (guardx_tpu.envs.wrappers).
+    AllegroKukaLSTM — 7-dof arm + 4-finger hand regrasping: approach,
+                    grasp, lift a free cube to an in-air target that
+                    respawns on success (IsaacGymEnvs tasks/allegro_kuka/
+                    allegro_kuka_regrasping.py); trained with the
+                    recurrent (LSTM) policy the registry name implies
+
+The remaining registry names (AllegroKukaTwoArmsLSTM,
+AllegroHandDextremeADR) stay adapter-only (guardx_tpu.envs.wrappers).
 
 The reward structures follow the IsaacGym task definitions (progress +
 alive - energy for locomotion; angle/velocity penalties for cartpole;
@@ -69,6 +75,10 @@ class BenchState:
     target: jnp.ndarray  # (4,) task target (point / commands / yaw / quat)
     steps: jnp.ndarray  # () int32
     rng: jnp.ndarray
+    # task-specific reward trackers (AUX_SIZE floats; AllegroKuka uses
+    # closest-fingertip dists, lifted flag, closest keypoint dist,
+    # near-goal steps, success count, object spawn height)
+    aux: jnp.ndarray
 
 
 class _TaskSpec:
@@ -107,10 +117,20 @@ TASKS = {
                              kind='inhand', substeps=2),
     'ShadowHand': _TaskSpec('shadow.xml', reset_noise=0.03,
                             kind='inhand_quat', substeps=2),
+    # AllegroKuka regrasping: approach -> grasp -> lift -> hold at an
+    # in-air target that respawns on success (IsaacGymEnvs
+    # tasks/allegro_kuka/allegro_kuka_regrasping.py; reward structure and
+    # scales per allegro_kuka_base.py:759-905 + cfg/task/AllegroKuka.yaml).
+    # The LSTM registry name selects a recurrent policy in the Trainer.
+    'AllegroKukaLSTM': _TaskSpec('kuka_allegro.xml', reset_noise=0.04,
+                                 kind='kuka', substeps=2),
 }
-# the OpenAI_FF variant is the same env trained with a feedforward policy
-# (which is what every guardx policy is); same native task
+# the OpenAI_FF / OpenAI_LSTM variants are the same env trained with a
+# feedforward / LSTM policy (reference rl_games configs,
+# safe_rl_env_config.py:2455-2566); the policy architecture is a Trainer
+# property here (train.py auto-enables --recurrent for *LSTM task names)
 TASKS['ShadowHandOpenAI_FF'] = TASKS['ShadowHand']
+TASKS['ShadowHandOpenAI_LSTM'] = TASKS['ShadowHand']
 
 CARTPOLE_RESET_DIST = 3.0
 
@@ -161,6 +181,20 @@ class NativeBenchEngine:
                     int(self.mj_model.geom_bodyid[gid]),
                     jnp.asarray(self.mj_model.geom_pos[gid], jnp.float32),
                 ))
+        if spec.kind == 'kuka':
+            self._cube_adr = self.meta['jnt_name2qposadr']['cube']
+            self._tips = []
+            for i in range(4):
+                gid = self.meta['geom_name2id'][f'f{i}_tip']
+                self._tips.append((
+                    int(self.mj_model.geom_bodyid[gid]),
+                    jnp.asarray(self.mj_model.geom_pos[gid], jnp.float32),
+                ))
+            # bent ready pose over the cube (see kuka_allegro.xml header)
+            qinit = np.array(self.mj_model.qpos0, dtype=np.float32)
+            for jname, v in (('kj2', 0.873), ('kj4', 1.047), ('kj6', 0.524)):
+                qinit[self.meta['jnt_name2qposadr'][jname]] = v
+            self._kuka_qinit = jnp.asarray(qinit)
         if spec.kind == 'cabinet':
             self._drawer_adr = self.meta['jnt_name2qposadr']['drawer_slide']
             # (body id, body-frame offset) pairs, resolved on the host
@@ -231,6 +265,12 @@ class NativeBenchEngine:
             # finger qpos/qvel (30), cube quat (4), cube angvel (3),
             # cube pos (3), target quat (4)
             return 44
+        if self.spec.kind == 'kuka':
+            # arm+hand qpos/qvel (30), cube pose (7), cube linvel (3),
+            # target-cube delta (3), fingertip-to-cube vectors (12),
+            # lifted flag (1) — mirrors the reference's full-state obs
+            # (allegro_kuka_base.py:196-215 keypoint/lifted blocks)
+            return 56
         # locomotion: qpos minus root xy, full qvel
         return (self.model.nq - 2) + self.model.nv
 
@@ -291,6 +331,20 @@ class NativeBenchEngine:
             return jnp.concatenate([
                 qpos[:15], qvel[:15], cube_quat, cube_w, cube_pos,
                 state.target,
+            ])
+        if self.spec.kind == 'kuka':
+            a = self._cube_adr
+            cube_pos = jax.lax.dynamic_slice(qpos, (a,), (3,))
+            cube_quat = jax.lax.dynamic_slice(qpos, (a + 3,), (4,))
+            cube_v = jax.lax.dynamic_slice(qvel, (a,), (3,))
+            tips = jnp.stack([
+                self._geom_world(state.data, t) for t in self._tips
+            ])  # (4, 3)
+            return jnp.concatenate([
+                qpos[:15], qvel[:15], cube_pos, cube_quat, cube_v,
+                state.target[:3] - cube_pos,
+                (tips - cube_pos).reshape(-1),
+                state.aux[4:5],  # lifted flag
             ])
         return jnp.concatenate([qpos[2:], qvel])
 
@@ -411,6 +465,121 @@ class NativeBenchEngine:
         fell = jnp.logical_or(z < spec.z_lo, z > spec.z_hi)
         return reward, fell.astype(jnp.float32)
 
+    # -- AllegroKuka regrasping reward ---------------------------------------
+
+    # reference scales: cfg/task/AllegroKuka.yaml:43-50,83-88
+    KUKA_DIST_DELTA_SCALE = 50.0
+    KUKA_LIFTING_SCALE = 20.0
+    KUKA_LIFTING_BONUS = 300.0
+    KUKA_LIFT_THRESHOLD = 0.15
+    KUKA_KEYPOINT_SCALE = 200.0
+    KUKA_REACH_BONUS = 1000.0
+    KUKA_SUCCESS_TOL = 0.075
+    KUKA_ARM_PENALTY = 0.003
+    KUKA_HAND_PENALTY = 0.0003
+
+    def _kuka_reward(self, mid: BenchState, action):
+        """Regrasping reward (allegro_kuka_base.py:759-905 structure):
+
+        - closest-ever fingertip-to-object delta reward, pre-lift only
+        - per-step lifting shaping clip(z_lift, 0, 0.5), pre-lift only,
+          plus a one-time bonus when z_lift crosses the threshold
+        - closest-ever object-to-target (keypoint) delta reward, post-lift
+        - |dof velocity| action penalties (arm and hand scales)
+        - success when object is within tolerance of the target
+          (successSteps=1): reach bonus, then the target respawns and the
+          object is reset to the surface (_reset_target semantics)
+        """
+        data = mid.data
+        aux = mid.aux
+        a = self._cube_adr
+        cube = jax.lax.dynamic_slice(data.qpos, (a,), (3,))
+        tips = jnp.stack([
+            self._geom_world(data, t) for t in self._tips
+        ])  # (4, 3)
+        cur_d = jnp.linalg.norm(tips - cube, axis=-1)  # (4,)
+
+        cf, lifted = aux[0:4], aux[4]
+        closest_kp, successes, init_z = aux[5], aux[7], aux[8]
+        # resolve the -1 first-use sentinels to the current distances
+        # (allegro_kuka_base.py:1044,1078): first step earns zero delta
+        cf = jnp.where(cf < 0.0, cur_d, cf)
+
+        not_lifted = 1.0 - lifted
+        ftip_delta = jnp.sum(jnp.clip(cf - cur_d, 0.0, 10.0)) * not_lifted
+        cf_new = jnp.minimum(cf, cur_d)
+
+        z_lift = 0.05 + cube[2] - init_z
+        lifting = jnp.clip(z_lift, 0.0, 0.5) * not_lifted
+        lifted_new = jnp.maximum(lifted, (z_lift > self.KUKA_LIFT_THRESHOLD)
+                                 .astype(jnp.float32))
+        just_lifted = lifted_new * not_lifted
+
+        kp_dist = jnp.linalg.norm(cube - mid.target[:3])
+        closest_kp = jnp.where(closest_kp < 0.0, kp_dist, closest_kp)
+        kp_delta = jnp.clip(closest_kp - kp_dist, 0.0, 100.0) * lifted_new
+        closest_kp_new = jnp.minimum(closest_kp, kp_dist)
+
+        arm_pen = self.KUKA_ARM_PENALTY * jnp.sum(jnp.abs(data.qvel[0:7]))
+        hand_pen = self.KUKA_HAND_PENALTY * jnp.sum(jnp.abs(data.qvel[7:15]))
+
+        near_goal = (kp_dist <= self.KUKA_SUCCESS_TOL).astype(jnp.float32)
+        success = near_goal  # successSteps = 1 (AllegroKuka.yaml:88)
+
+        reward = (
+            self.KUKA_DIST_DELTA_SCALE * ftip_delta
+            + self.KUKA_LIFTING_SCALE * lifting
+            + self.KUKA_LIFTING_BONUS * just_lifted
+            + self.KUKA_KEYPOINT_SCALE * kp_delta
+            + self.KUKA_REACH_BONUS * success
+            - arm_pen - hand_pen
+        )
+
+        # success: respawn the target and put the object back on the
+        # surface with fresh trackers (the reference's _reset_target)
+        rng, k_t, k_c = jax.random.split(mid.rng, 3)
+        new_target = jnp.concatenate([
+            jax.random.uniform(
+                k_t, (3,), minval=jnp.array([0.35, -0.25, 0.2]),
+                maxval=jnp.array([0.8, 0.25, 0.5]),
+            ), jnp.zeros(1),
+        ])
+        cube_xy = self._kuka_qinit[a:a + 2] + jax.random.uniform(
+            k_c, (2,), minval=-0.08, maxval=0.08
+        )
+        cube_reset = jnp.concatenate([
+            cube_xy, self._kuka_qinit[a + 2:a + 3],
+            jnp.array([1.0, 0.0, 0.0, 0.0]),
+        ])
+        qpos_s = jax.lax.dynamic_update_slice(data.qpos, cube_reset, (a,))
+        qvel_s = jax.lax.dynamic_update_slice(
+            data.qvel, jnp.zeros(6, jnp.float32), (a,)
+        )
+        w = success > 0.5
+        data = data.replace(
+            qpos=jnp.where(w, qpos_s, data.qpos),
+            qvel=jnp.where(w, qvel_s, data.qvel),
+        )
+        target = jnp.where(w, new_target, mid.target)
+        aux_cont = jnp.concatenate([
+            cf_new, lifted_new[None], closest_kp_new[None],
+            near_goal[None], (successes + success)[None], aux[8:9],
+        ])
+        aux_succ = jnp.concatenate([
+            jnp.full((4,), -1.0), jnp.zeros(1), jnp.full((1,), -1.0),
+            jnp.zeros(1), (successes + success)[None], aux[8:9],
+        ])
+        aux = jnp.where(w, aux_succ, aux_cont)
+
+        # episode reset when the object leaves the workspace or is pushed
+        # through the work surface (_compute_resets object-fall analogue,
+        # allegro_kuka_base.py:845; timeout is generic)
+        done = jnp.logical_or(
+            jnp.linalg.norm(cube[:2]) > 1.2, cube[2] < -0.1
+        ).astype(jnp.float32)
+        return mid.replace(data=data, target=target, aux=aux, rng=rng), \
+            reward, done
+
     # -- functional single-env API ------------------------------------------
 
     def _fresh(self, rng):
@@ -441,6 +610,23 @@ class NativeBenchEngine:
             k_v, (self.model.nv,), minval=-1.0, maxval=1.0
         )
         pad1 = lambda t: jnp.concatenate([t, jnp.zeros(1, jnp.float32)])
+        if self.spec.kind == 'kuka':
+            # arm at the ready pose + joint noise; cube on the surface with
+            # xy scatter (reset_object_pose, allegro_kuka_base.py)
+            k_c, k_t2 = jax.random.split(k_t)
+            qpos = self._kuka_qinit + noise * jax.random.uniform(
+                k_q, (self.model.nq,), minval=-1.0, maxval=1.0
+            )
+            a = self._cube_adr
+            cube_xy = self._kuka_qinit[a:a + 2] + jax.random.uniform(
+                k_c, (2,), minval=-0.08, maxval=0.08
+            )
+            cube0 = jnp.concatenate([
+                cube_xy, self._kuka_qinit[a + 2:a + 3],
+                jnp.array([1.0, 0.0, 0.0, 0.0]),
+            ])
+            qpos = jax.lax.dynamic_update_slice(qpos, cube0, (a,))
+            k_t = k_t2
         if self.spec.kind == 'hover':
             target = pad1(jax.random.uniform(
                 k_t, (3,), minval=jnp.array([-2.0, -2.0, 1.0]),
@@ -462,6 +648,14 @@ class NativeBenchEngine:
             target = pad1(jax.random.uniform(
                 k_t, (3,), minval=jnp.array([-1.0, -0.5, -1.0]),
                 maxval=jnp.array([1.0, 0.5, 1.0]),
+            ))
+        elif self.spec.kind == 'kuka':
+            # in-air target volume over the workspace (the reference's
+            # target_volume_origin/extent, allegro_kuka_base.py:251-252,
+            # shifted to this rig's geometry)
+            target = pad1(jax.random.uniform(
+                k_t, (3,), minval=jnp.array([0.35, -0.25, 0.2]),
+                maxval=jnp.array([0.8, 0.25, 0.5]),
             ))
         elif self.spec.kind == 'inhand_quat':
             # random target orientation: uniform axis, bounded angle
@@ -491,8 +685,20 @@ class NativeBenchEngine:
             ctrl=jnp.zeros(self.model.nu, jnp.float32),
         )
         data = physics.forward(self.model, data)
+        if self.spec.kind == 'kuka':
+            # [cf0..cf3 closest fingertip dists, lifted, closest kp dist,
+            #  near-goal steps, successes, object spawn z]; -1 sentinels
+            # resolve to the current distance on first use, so the first
+            # step earns zero delta reward (allegro_kuka_base.py:346,1044)
+            a = self._cube_adr
+            aux = jnp.concatenate([
+                jnp.full((4,), -1.0), jnp.zeros(1), jnp.full((1,), -1.0),
+                jnp.zeros(2), qpos[a + 2:a + 3],
+            ])
+        else:
+            aux = jnp.zeros(9, jnp.float32)
         return BenchState(
-            data=data, target=target, steps=jnp.int32(0), rng=rng
+            data=data, target=target, steps=jnp.int32(0), rng=rng, aux=aux
         )
 
     def reset_single(self, rng, pool: LayoutPool):
@@ -504,8 +710,12 @@ class NativeBenchEngine:
         data = physics.step(self.model, data)
         mid = state.replace(data=data)
 
-        obs = self._observe(mid)
-        reward, done = self._reward_done(mid, action)
+        if self.spec.kind == 'kuka':
+            mid, reward, done = self._kuka_reward(mid, action)
+            obs = self._observe(mid)
+        else:
+            obs = self._observe(mid)
+            reward, done = self._reward_done(mid, action)
 
         bad = jnp.logical_or(jnp.isnan(obs).any(), jnp.isinf(obs).any())
         reward = jnp.where(bad, 0.0, reward)

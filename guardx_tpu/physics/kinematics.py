@@ -89,6 +89,12 @@ def fk(model: Model, qpos: jnp.ndarray):
                 axis_w = maths.quat_rotate(quat, model.jnt_axis[j])
                 pos = pos + axis_w * qpos[qadr]
                 dof_info[dadr] = ("slide", axis_w, None)
+        # materialization point per body: without it XLA's fusion
+        # duplication recomputes the whole ancestor chain inside every
+        # consumer fusion — exponential in tree depth (measured: fk at
+        # depth 9 ran 3000x slower than depth 5 on CPU; same pathology in
+        # kind on TPU). The barrier is semantically the identity.
+        pos, quat = jax.lax.optimization_barrier((pos, quat))
         xpos.append(pos)
         xquat.append(quat)
 

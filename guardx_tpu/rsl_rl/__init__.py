@@ -133,12 +133,34 @@ class OnPolicyRunner:
         return blob
 
     def get_inference_policy(self, device=None):
-        """Deterministic (mean-action) policy fn obs -> action."""
+        """Deterministic (mean-action) policy fn obs -> action. Recurrent
+        policies thread their LSTM carry statefully inside the closure."""
         import jax
         import jax.numpy as jnp
 
         nets = self.trainer.nets
         params = self.trainer.state.algo.pi
+
+        if getattr(nets, 'recurrent', False):
+            from guardx_tpu.algos import core as _core
+
+            carry = {'h': None}
+
+            @jax.jit
+            def step(p, obs, h):
+                (mu, _), h = nets.pi_apply(p, obs, h)
+                return mu, h
+
+            def policy(obs):
+                obs = jnp.asarray(obs)
+                if carry['h'] is None:
+                    carry['h'] = _core.zero_carry(
+                        obs.shape[:-1], nets.lstm_size
+                    )
+                mu, carry['h'] = step(params, obs, carry['h'])
+                return mu
+
+            return policy
 
         @jax.jit
         def policy(obs):

@@ -53,6 +53,12 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument('--one_episode', action='store_true',
                         help='one-episode-per-env epochs (the reference\'s '
                              '*_one_episode variants)')
+    parser.add_argument('--recurrent', action='store_true',
+                        help='LSTM actor-critic (auto-enabled for *LSTM '
+                             'registry task names, the reference\'s '
+                             'rl_games LSTM workloads)')
+    parser.add_argument('--lstm', type=int, default=64,
+                        help='LSTM hidden size for --recurrent')
     parser.add_argument('--resume', action='store_true',
                         help='resume from the checkpoint in the log dir')
     parser.add_argument('--mesh', action='store_true',
@@ -123,9 +129,14 @@ def run(args) -> dict:
 
         mesh = make_mesh()
 
+    # the reference's *LSTM registry names ARE the recurrent-policy request
+    # (rl_games LSTM configs, safe_rl_env_config.py:2455-2566)
+    recurrent = bool(getattr(args, 'recurrent', False)) or 'LSTM' in args.task
+    hidden = tuple([args.hid] * (args.l if not recurrent else max(args.l - 1, 1)))
     trainer = Trainer(
-        env, algo, seed=args.seed, hidden_sizes=tuple([args.hid] * args.l),
+        env, algo, seed=args.seed, hidden_sizes=hidden,
         epochs=args.epochs, mesh=mesh,
+        recurrent=recurrent, lstm_size=int(getattr(args, 'lstm', 64)),
     )
     logger.setup_model_saver(trainer.state.algo)
 

@@ -23,14 +23,16 @@ import numpy as np
 def replay(model_dir: str, task: str, max_ep_len: int = 200, episodes: int = 1,
            video_name: str = 'video', out_dir: str = './video',
            fps: int = 30, seed: int = 0, deterministic: bool = True,
-           hid: int = 64, layers: int = 2):
+           hid: int = 64, layers: int = 2, recurrent: bool = False,
+           lstm: int = 64):
     """Run the saved policy and write <out_dir>/<video_name>.mp4. Returns
     (frames_written, total_reward, total_cost)."""
     import joblib
     import jax
     import jax.numpy as jnp
 
-    from guardx_tpu.algos.base import Networks
+    from guardx_tpu.algos.base import Networks, RecurrentNetworks
+    from guardx_tpu.algos import core
     from guardx_tpu.envs.registry import create_env
 
     class _Args:
@@ -42,26 +44,44 @@ def replay(model_dir: str, task: str, max_ep_len: int = 200, episodes: int = 1,
 
     model = joblib.load(os.path.join(model_dir, 'jax_save', 'model.pkl'))
     pi_params = model.pi if hasattr(model, 'pi') else model['pi']
-    nets = Networks(env.obs_flat_size, env.action_space.shape[0],
-                    tuple([hid] * layers))
+    recurrent = recurrent or 'LSTM' in task
+    if recurrent:
+        nets = RecurrentNetworks(
+            env.obs_flat_size, env.action_space.shape[0],
+            tuple([hid] * max(layers - 1, 1)), lstm_size=lstm,
+        )
 
-    @jax.jit
-    def act(params, obs, rng):
-        mu, log_std = nets.pi_apply(params, obs)
-        if deterministic:
-            return mu
-        from guardx_tpu.algos import core
+        @jax.jit
+        def act_r(params, obs, rng, h):
+            (mu, log_std), h = nets.pi_apply(params, obs, h)
+            a = mu if deterministic else core.gaussian_sample(
+                rng, mu, log_std
+            )
+            return a, h
+    else:
+        nets = Networks(env.obs_flat_size, env.action_space.shape[0],
+                        tuple([hid] * layers))
 
-        return core.gaussian_sample(rng, mu, log_std)
+        @jax.jit
+        def act(params, obs, rng):
+            mu, log_std = nets.pi_apply(params, obs)
+            if deterministic:
+                return mu
+            return core.gaussian_sample(rng, mu, log_std)
 
     frames = []
     total_r, total_c = 0.0, 0.0
     rng = jax.random.PRNGKey(seed)
     for _ in range(episodes):
         obs = env.reset()
+        if recurrent:
+            h = core.zero_carry((1,), lstm)
         for t in range(max_ep_len):
             rng, sub = jax.random.split(rng)
-            action = act(pi_params, obs, sub)
+            if recurrent:
+                action, h = act_r(pi_params, obs, sub, h)
+            else:
+                action = act(pi_params, obs, sub)
             obs, rew, done, info = env.step(jnp.asarray(action))
             total_r += float(rew[0])
             total_c += float(info['cost'][0])
@@ -110,10 +130,13 @@ def main(argv=None):
     parser.add_argument('--stochastic', action='store_true')
     parser.add_argument('--hid', type=int, default=64)
     parser.add_argument('--l', type=int, default=2)
+    parser.add_argument('--recurrent', action='store_true')
+    parser.add_argument('--lstm', type=int, default=64)
     args = parser.parse_args(argv)
     replay(args.model_path, args.task, args.max_ep_len, args.episodes,
            args.video_name, args.out_dir, args.fps, args.seed,
-           deterministic=not args.stochastic, hid=args.hid, layers=args.l)
+           deterministic=not args.stochastic, hid=args.hid, layers=args.l,
+           recurrent=args.recurrent, lstm=args.lstm)
 
 
 if __name__ == '__main__':

@@ -189,3 +189,43 @@ def test_trainer_integration_cartpole():
     m = tr.run_epoch(0)
     assert np.isfinite(m["EpRet"])
     assert m["EpCost"] == 0.0
+
+
+@pytest.mark.slow
+def test_kuka_regrasp_reward_semantics():
+    """AllegroKuka regrasping (allegro_kuka_base.py:759-905 structure):
+    lifting the cube past the threshold flips the lifted flag and pays the
+    one-time bonus; reaching the target pays the reach bonus and respawns
+    the target with the object back on the surface."""
+    env = NativeBenchEngine('AllegroKukaLSTM', env_num=2, num_steps=50,
+                            seed=0)
+    env.reset()
+    st = env._state
+    a = env._cube_adr
+
+    # teleport env-0's cube 0.2 above its spawn -> crosses the 0.15 lift
+    # threshold: one-time lifting bonus (300) appears in the reward
+    qpos = st.data.qpos.at[0, a + 2].add(0.20)
+    env._state = st.replace(data=st.data.replace(qpos=qpos))
+    obs, rew, done, info = env.step(jnp.zeros((2, 15)))
+    assert float(rew[0]) > 250.0, f"lift bonus missing: {float(rew[0])}"
+    assert float(env._state.aux[0, 4]) == 1.0  # lifted flag
+    assert float(env._state.aux[1, 4]) == 0.0  # env 1 unaffected
+    r_prev = float(rew[0])
+
+    # teleport env-0's cube to the target -> reach bonus + respawn:
+    # target changes, object returns to the surface, trackers reset
+    st = env._state
+    tgt = st.target[0, :3]
+    cube_pose = jnp.concatenate([tgt, jnp.array([1.0, 0.0, 0.0, 0.0])])
+    qpos = jax.lax.dynamic_update_slice(st.data.qpos, cube_pose[None], (0, a))
+    env._state = st.replace(data=st.data.replace(qpos=qpos))
+    old_target = np.asarray(st.target[0, :3]).copy()
+    obs, rew, done, info = env.step(jnp.zeros((2, 15)))
+    assert float(rew[0]) > 900.0, f"reach bonus missing: {float(rew[0])}"
+    new_target = np.asarray(env._state.target[0, :3])
+    assert not np.allclose(old_target, new_target)
+    # object back near the surface spawn height
+    assert float(env._state.data.qpos[0, a + 2]) < 0.1
+    assert float(env._state.aux[0, 4]) == 0.0  # lifted reset
+    assert float(env._state.aux[0, 7]) == 1.0  # success count
