@@ -95,7 +95,7 @@ class Trainer:
         # per-epoch pool health as the LayoutPoolValid metric.
         n_valid = int(pool.n_valid)
         assert n_valid > 0, "layout pool produced no valid layout"
-        if n_valid < self.B:
+        if n_valid < self.B and getattr(env, 'uses_layout_pool', True):
             msg = (
                 f"layout pool has {n_valid} valid layouts for {self.B} envs;"
                 " layouts will repeat (raise gx_layout_pool)"
@@ -399,6 +399,10 @@ class Trainer:
         )
         if 'ep_max_cost' in aux:
             metrics['EpMaxCost'] = aux['ep_max_cost']
+        if getattr(self.env, 'adr_enabled', False):
+            # per-env full-epoch returns for the ADR boundary evaluators
+            # (envs/randomize.py.ADRManager.after_epoch)
+            metrics['PerEnvRet'] = acc['max_ep_len_ret']
         return rs, metrics
 
     # ------------------------------------------------------------------
@@ -410,7 +414,10 @@ class Trainer:
         self.state, metrics = self._epoch_jit(
             self.state, epoch_frac, jnp.int32(epoch)
         )
-        metrics = {k: float(v) for k, v in metrics.items()}
+        metrics = {
+            k: (np.asarray(v) if np.ndim(v) else float(v))
+            for k, v in metrics.items()
+        }
         self.total_steps += self.T * self.B
         metrics['TotalEnvInteracts'] = self.total_steps
         metrics['CostRate'] = metrics['CumulativeCost'] / self.total_steps

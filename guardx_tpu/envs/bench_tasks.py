@@ -62,6 +62,7 @@ from flax import struct
 import mujoco
 
 from guardx_tpu import physics
+from guardx_tpu.envs import randomize
 from guardx_tpu.envs.world import BASE_DIR
 from guardx_tpu.envs.engine import LayoutPool
 from guardx_tpu.utils.spaces import Box
@@ -79,12 +80,15 @@ class BenchState:
     # closest-fingertip dists, lifted flag, closest keypoint dist,
     # near-goal steps, success count, object spawn height)
     aux: jnp.ndarray
+    # domain-randomization block: per-env ranges + current multipliers
+    # (envs/randomize.py; identity when the task has DR disabled)
+    dr: dict
 
 
 class _TaskSpec:
     def __init__(self, xml, reset_noise=0.05, z_lo=None, z_hi=None,
                  forward_scale=1.0, alive_bonus=0.5, energy_cost=0.005,
-                 kind='locomotion', terrain=None, substeps=None):
+                 kind='locomotion', terrain=None, substeps=None, dr=False):
         self.xml = xml
         self.reset_noise = reset_noise
         self.z_lo, self.z_hi = z_lo, z_hi
@@ -94,6 +98,7 @@ class _TaskSpec:
         self.kind = kind
         self.terrain = terrain
         self.substeps = substeps
+        self.dr = dr
 
 
 TASKS = {
@@ -124,6 +129,13 @@ TASKS = {
     # The LSTM registry name selects a recurrent policy in the Trainer.
     'AllegroKukaLSTM': _TaskSpec('kuka_allegro.xml', reset_noise=0.04,
                                  kind='kuka', substeps=2),
+    # Dextreme: AllegroHand in-hand reorientation under Automatic Domain
+    # Randomization (tasks/dextreme/allegro_hand_dextreme.py +
+    # adr_vec_task.py); DR multipliers live in BenchState.dr, the ADR
+    # boundary loop runs between epochs (envs/randomize.py.ADRManager,
+    # wired in train.py)
+    'AllegroHandDextremeADR': _TaskSpec('allegro.xml', reset_noise=0.03,
+                                        kind='inhand', substeps=2, dr=True),
 }
 # the OpenAI_FF / OpenAI_LSTM variants are the same env trained with a
 # feedforward / LSTM policy (reference rl_games configs,
@@ -167,6 +179,10 @@ class NativeBenchEngine:
 
         self._free = 'robot' in self.meta['jnt_name2qposadr']
         self._qpos0 = jnp.asarray(self.mj_model.qpos0, dtype=jnp.float32)
+        # domain randomization (envs/randomize.py); adr_enabled tells
+        # train.py to run the ADR boundary loop between epochs
+        self.dr_enabled = bool(spec.dr)
+        self.adr_enabled = bool(spec.dr)
 
         if spec.kind == 'balance':
             self._ball_adr = self.meta['jnt_name2qposadr']['ball']
@@ -225,6 +241,8 @@ class NativeBenchEngine:
         )
 
     # -- layout-pool protocol (no layouts to sample: a unit dummy pool) ----
+
+    uses_layout_pool = False  # runner skips the pool-validity check
 
     def make_layout_pool(self, rng) -> LayoutPool:
         return LayoutPool(
@@ -684,6 +702,10 @@ class NativeBenchEngine:
             qpos=qpos, qvel=qvel,
             ctrl=jnp.zeros(self.model.nu, jnp.float32),
         )
+        dr = randomize.init_dr(self.dr_enabled)
+        if self.dr_enabled:
+            rng, k_dr = jax.random.split(rng)
+            dr = randomize.sample_mult(k_dr, dr)
         data = physics.forward(self.model, data)
         if self.spec.kind == 'kuka':
             # [cf0..cf3 closest fingertip dists, lifted, closest kp dist,
@@ -698,7 +720,8 @@ class NativeBenchEngine:
         else:
             aux = jnp.zeros(9, jnp.float32)
         return BenchState(
-            data=data, target=target, steps=jnp.int32(0), rng=rng, aux=aux
+            data=data, target=target, steps=jnp.int32(0), rng=rng, aux=aux,
+            dr=dr,
         )
 
     def reset_single(self, rng, pool: LayoutPool):
@@ -706,8 +729,19 @@ class NativeBenchEngine:
         return self._observe(state), state
 
     def step_single(self, state: BenchState, action):
+        model = self.model
+        if self.dr_enabled:
+            # randomized physics + action noise (vec_task.py:610 semantics;
+            # multipliers are this env's current DR draw)
+            rng, k_act = jax.random.split(state.rng)
+            state = state.replace(rng=rng)
+            mult = state.dr['mult']
+            model = randomize.apply_to_model(model, mult)
+            action = action + mult[6] * jax.random.normal(
+                k_act, jnp.shape(action)
+            )
         data = state.data.replace(ctrl=action)
-        data = physics.step(self.model, data)
+        data = physics.step(model, data)
         mid = state.replace(data=data)
 
         if self.spec.kind == 'kuka':
@@ -717,6 +751,12 @@ class NativeBenchEngine:
             obs = self._observe(mid)
             reward, done = self._reward_done(mid, action)
 
+        if self.dr_enabled:
+            rng, k_obs = jax.random.split(mid.rng)
+            mid = mid.replace(rng=rng)
+            obs = obs + mid.dr['mult'][5] * jax.random.normal(
+                k_obs, obs.shape
+            )
         bad = jnp.logical_or(jnp.isnan(obs).any(), jnp.isinf(obs).any())
         reward = jnp.where(bad, 0.0, reward)
         done = jnp.where(bad, 1.0, done)
@@ -739,6 +779,17 @@ class NativeBenchEngine:
             ),
             fresh, state.replace(rng=rng),
         )
+        if self.dr_enabled:
+            # the env KEEPS its assigned DR ranges across in-episode
+            # resets (ADR pins them per epoch) and draws fresh
+            # multipliers from them at each reset
+            rng2, k_dr = jax.random.split(merged.rng)
+            resampled = randomize.sample_mult(k_dr, state.dr)
+            dr = {
+                'lo': state.dr['lo'], 'hi': state.dr['hi'],
+                'mult': jnp.where(w, resampled['mult'], state.dr['mult']),
+            }
+            merged = merged.replace(dr=dr, rng=rng2)
         obs = jnp.where(w, self._observe(fresh), flat_obs)
         return obs, merged
 

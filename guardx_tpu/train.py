@@ -140,6 +140,16 @@ def run(args) -> dict:
     )
     logger.setup_model_saver(trainer.state.algo)
 
+    # Automatic Domain Randomization loop (AllegroHandDextremeADR):
+    # pin boundary-evaluator env groups before each epoch, expand/contract
+    # the global DR bounds from their epoch returns after it
+    # (guardx_tpu.envs.randomize.ADRManager; reference adr_vec_task.py)
+    adr = None
+    if getattr(env, 'adr_enabled', False):
+        from guardx_tpu.envs.randomize import ADRManager
+
+        adr = ADRManager(args.env_num, seed=args.seed)
+
     start_epoch = 0
     if args.resume and ckpt.has_checkpoint(logger.output_dir):
         trainer.state, start_epoch, trainer.total_steps = (
@@ -155,6 +165,10 @@ def run(args) -> dict:
     metrics = {}
     start = time.time()
     for epoch in range(start_epoch, args.epochs):
+        if adr is not None:
+            trainer.state = trainer.state.replace(
+                env_state=adr.before_epoch(trainer.state.env_state)
+            )
         if args.profile and epoch == start_epoch + 1:
             # epoch 0 compiles; trace the first steady-state epoch
             from guardx_tpu.utils.profiling import trace
@@ -163,6 +177,8 @@ def run(args) -> dict:
                 metrics = trainer.run_epoch(epoch)
         else:
             metrics = trainer.run_epoch(epoch)
+        if adr is not None:
+            metrics.update(adr.after_epoch(metrics.pop('PerEnvRet')))
 
         # reference metric vocabulary + order (cpo/cpo.py:683-712)
         logger.log_tabular('Epoch', epoch)
@@ -178,7 +194,8 @@ def run(args) -> dict:
             if key not in ('EpRet', 'EpCost', 'EpCostRet', 'EpLen',
                            'EpMaxCost', 'MaxEpLenRet', 'CumulativeCost',
                            'CostRate', 'VVals', 'TotalEnvInteracts',
-                           'TEpoch', 'StepsPerSec'):
+                           'TEpoch', 'StepsPerSec') and not hasattr(
+                               metrics[key], 'ndim'):
                 logger.log_tabular(key, metrics[key])
         logger.log_tabular('TEpoch', metrics['TEpoch'])
         logger.log_tabular('StepsPerSec', metrics['StepsPerSec'])
