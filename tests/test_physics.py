@@ -389,3 +389,27 @@ def test_sphere_rests_on_floor():
     vz = float(data.qvel[2])
     assert 0.08 < z < 0.12, f"sphere should rest near z=0.1, got {z}"
     assert abs(vz) < 0.05, f"sphere should be at rest, got vz={vz}"
+
+
+@pytest.mark.slow
+def test_swimmer_drift_within_mujoco_h_sensitivity():
+    """The swimmer's trajectory is integrator-truncation dominated, not
+    solver dominated: host MuJoCo disagrees with ITSELF by qpos RMSE ~0.5
+    (with contact; ~2.1 contact-free) when its own timestep is halved,
+    while a 1e-6 state perturbation does not diverge at all (measured in
+    round 3 — PARITY.md "Swimmer drift" section). So absolute RMSE bounds
+    below that are ill-posed for any non-bit-identical solver. This test
+    pins the RELATIVE claim: guardx drift stays within 2.2x MuJoCo's own
+    h-sensitivity on the same control sequence."""
+    from tools.contact_fidelity import measure, mujoco_h_sensitivity
+
+    ours = measure("swimmer.xml", steps=200, seed=0)
+    yardstick = mujoco_h_sensitivity("swimmer.xml", steps=200, seed=0)
+    assert yardstick["rmse_qpos"] > 0.2, (
+        "yardstick collapsed — if MuJoCo became h-robust here, tighten "
+        f"the swimmer bounds: {yardstick}"
+    )
+    assert ours["rmse_qpos"] < 2.2 * yardstick["rmse_qpos"], (ours, yardstick)
+    # root translation (what the RL layer's obs/reward actually consume)
+    # stays accurate in absolute terms
+    assert ours["xy_err_final"] < 0.12, ours

@@ -145,3 +145,33 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def mujoco_h_sensitivity(robot: str, steps: int, seed: int = 0) -> dict:
+    """How much host MuJoCo disagrees with ITSELF when its timestep is
+    halved (two mj_steps per control step) — the yardstick for what
+    trajectory-level fidelity can mean on a given robot. A solver that is
+    not bit-identical to MuJoCo's cannot stay closer to the h=dt
+    trajectory than MuJoCo's own h-truncation error."""
+    world = World(robot, geoms={})
+    mj_model = world.build()
+    ctrl = ctrl_sequence(mj_model.nu, steps, seed)
+    q_a = run_mujoco(mj_model, ctrl)
+
+    d = mujoco.MjData(mj_model)
+    old = mj_model.opt.timestep
+    mj_model.opt.timestep = old / 2
+    mujoco.mj_forward(mj_model, d)
+    q_b = np.zeros_like(q_a)
+    for t in range(ctrl.shape[0]):
+        d.ctrl[:] = ctrl[t]
+        mujoco.mj_step(mj_model, d)
+        mujoco.mj_step(mj_model, d)
+        q_b[t] = d.qpos
+    mj_model.opt.timestep = old
+    xy_idx, _ = root_slices(mj_model)
+    return {
+        "robot": robot,
+        "rmse_qpos": float(np.sqrt(np.mean((q_a - q_b) ** 2))),
+        "xy_err_final": float(np.linalg.norm(q_a[-1, xy_idx] - q_b[-1, xy_idx])),
+    }

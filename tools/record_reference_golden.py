@@ -1,20 +1,22 @@
 """Record golden parity data by EXECUTING the actual reference engine code.
 
 Builds the reference Engine (via tools/ref_shims.py) for
-Goal_Point_8Hazards, drives host-MuJoCo physics (mujoco.mj_step) on the
-reference's own compiled world model, and evaluates the reference's own
+Goal_<Robot>_8Hazards — all five reference robots: point, swimmer, ant,
+walker, doggo (the complete xmls/ inventory, reference SURVEY.md L4) —
+drives host-MuJoCo physics (mujoco.mj_step) on the reference's own
+compiled world model, and evaluates the reference's own
 obs()/reward_done()/cost() JAX code at every step — exactly mirroring the
 reference host loop (engine.py:469-495 update_data/step bookkeeping: the
 None->real last_done chain, the post-step time limit, the step counter
 reset).
 
-Outputs tests/golden/ref_goal_point_8hazards.npz with:
+Outputs tests/golden/ref_goal_<robot>_8hazards.npz with:
 - the per-step physics states (qpos/qvel/qacc/ctrl, robot xpos/xmat)
 - the layout (goal/hazard world positions from body xpos)
 - reference obs/reward/done/cost sequences
-- a batch of synthetic-pose lidar/compass goldens (angle/aliasing edges)
+- (point only) a batch of synthetic-pose lidar/compass goldens
 
-Run:  JAX_PLATFORMS=cpu python tools/record_reference_golden.py
+Run:  python tools/record_reference_golden.py [robot ...]
 """
 
 from __future__ import annotations
@@ -36,10 +38,11 @@ jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ref_shims import load_reference_engine, GOAL_POINT_8HAZARDS  # noqa: E402
 
-OUT = os.path.join(
+GOLDEN_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "tests", "golden", "ref_goal_point_8hazards.npz",
+    "tests", "golden",
 )
+ROBOTS = ["point", "swimmer", "ant", "walker", "doggo"]
 
 N_ENVS = 3        # independent single-env trajectories
 T = 80            # control steps each
@@ -75,13 +78,15 @@ def sample_valid_layout(engine, key):
             return layout, key
 
 
-def main():
+def main(robot="point"):
     import jax
     import mujoco
 
     eng_mod = load_reference_engine()
 
+    out_path = os.path.join(GOLDEN_DIR, f"ref_goal_{robot}_8hazards.npz")
     config = dict(GOAL_POINT_8HAZARDS)
+    config["robot_base"] = f"xmls/{robot}.xml"
     config.update({"env_num": 1, "num_steps": 200, "_seed": SEED})
 
     # the reference World dumps result.xml into CWD (world.py:331-332)
@@ -118,11 +123,23 @@ def main():
         # steps). Pure state replay — any start state is a valid golden.
         if e >= 1:
             xpos = np.array(mj_data.xpos)
+            # env 2: just outside the goal so random motion crosses the
+            # boundary — except the swimmer, which can barely translate
+            # under random actions; it starts just INSIDE so the done
+            # (and post-done reward-masking) path is still exercised
+            goal_off = 0.45 if robot == "swimmer" else 0.52
             target = (xpos[hazard_ids[0], :2] + np.array([0.15, 0.0])
                       if e == 1 else
-                      xpos[goal_id, :2] + np.array([0.52, 0.0]))
-            rx = engine.joint_name2qpos_id["robot_x"]
-            ry = engine.joint_name2qpos_id["robot_y"]
+                      xpos[goal_id, :2] + np.array([goal_off, 0.0]))
+            # root xy indices: slide pair for point/swimmer/ant/walker,
+            # free-joint head for doggo (reference layout2qpos,
+            # engine.py:623-639)
+            if "robot" in engine.joint_name2qpos_id:
+                rx = engine.joint_name2qpos_id["robot"]
+                ry = rx + 1
+            else:
+                rx = engine.joint_name2qpos_id["robot_x"]
+                ry = engine.joint_name2qpos_id["robot_y"]
             mj_data.qpos[rx] = target[0]
             mj_data.qpos[ry] = target[1]
             mujoco.mj_forward(mj_model, mj_data)
@@ -149,11 +166,18 @@ def main():
             xpos_robot=[np.array(data.xpos)[robot_id]],
             xmat_robot=[np.array(data.xmat)[robot_id]],
             obs=[np.array(obs0)],
+            # per-step object positions: the reference's slide-jointed
+            # task geoms DRIFT under solver noise for free-root robots
+            # (~0.07 mm/step for doggo) — the golden feeds the positions
+            # its obs/cost actually consumed
+            hazards_xy_t=[np.array(data.xpos)[hazard_ids, :2]],
+            goal_xy_t=[np.array(data.xpos)[goal_id, :2]],
             actions=[], reward=[], done=[], cost=[],
         )
 
+        act_dim = 2 if robot == "point" else nu
         for t in range(T):
-            action = act_rng.uniform(-1.0, 1.0, size=2)
+            action = act_rng.uniform(-1.0, 1.0, size=act_dim)
 
             # update_data(): rotate the history BEFORE stepping
             last_last_data = last_data
@@ -161,11 +185,15 @@ def main():
             last_last_done = last_done
             last_done = done_arr
 
-            # convert_action (reference engine.py:672-687): body-frame x
-            # thrust rotated into the world, computed on the PRE-step xmat
-            robot_mat = np.array(data.xmat)[robot_id]
-            world = robot_mat @ np.array([action[0], 0.0, 0.0])
-            ctrl = np.array([world[0], world[1], action[1]])
+            # convert_action (reference engine.py:672-687): point rotates
+            # its body-frame x thrust into the world on the PRE-step xmat;
+            # every other robot passes ctrl straight through
+            if robot == "point":
+                robot_mat = np.array(data.xmat)[robot_id]
+                world = robot_mat @ np.array([action[0], 0.0, 0.0])
+                ctrl = np.array([world[0], world[1], action[1]])
+            else:
+                ctrl = action
 
             mj_data.ctrl[:] = ctrl
             for _ in range(engine.physics_steps_per_control_step):
@@ -198,6 +226,8 @@ def main():
             rec["ctrl"].append(np.array(data.ctrl))
             rec["xpos_robot"].append(np.array(data.xpos)[robot_id])
             rec["xmat_robot"].append(np.array(data.xmat)[robot_id])
+            rec["hazards_xy_t"].append(np.array(data.xpos)[hazard_ids, :2])
+            rec["goal_xy_t"].append(np.array(data.xpos)[goal_id, :2])
             rec["obs"].append(np.array(obs))
             rec["reward"].append(float(reward))
             rec["done"].append(done_host)
@@ -212,10 +242,12 @@ def main():
               f"dones={envs[-1]['done'].sum():.0f}")
 
     # ---- synthetic lidar/compass goldens: random poses + objects --------
+    # robot-agnostic math; recorded once (point)
     import jax.numpy as jp
 
     syn_rng = np.random.RandomState(SEED + 2)
-    N_SYN = 48
+    N_SYN_R = 48 if robot == "point" else 0
+    N_SYN = N_SYN_R
     syn = dict(robot_xy=[], robot_theta=[], objects_xy=[],
                goal_xy=[], lidar=[], compass=[], cost=[])
     for i in range(N_SYN):
@@ -253,7 +285,7 @@ def main():
         syn["compass"].append(np.array(comp))
         syn["cost"].append(float(syn_cost))
 
-    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
     out = dict(
         meta_nq=nq, meta_nv=nv, meta_nu=nu,
         meta_robot_nq=engine.robot.nq, meta_robot_nv=engine.robot.nv,
@@ -267,9 +299,11 @@ def main():
             out[f"env{e}_{k}"] = v
     for k, v in syn.items():
         out[f"syn_{k}"] = np.array(v)
-    np.savez_compressed(OUT, **out)
-    print(f"wrote {OUT} ({os.path.getsize(OUT)} bytes)")
+    np.savez_compressed(out_path, **out)
+    print(f"wrote {out_path} ({os.path.getsize(out_path)} bytes)")
 
 
 if __name__ == "__main__":
-    main()
+    for r in (sys.argv[1:] or ROBOTS):
+        print(f"=== recording {r}")
+        main(r)
