@@ -64,7 +64,7 @@ class AMP(PPO):
 
     name = "amp"
 
-    def __init__(self, demos=None, **hp):
+    def __init__(self, demos=None, feature_idx=None, **hp):
         hp.setdefault('disc_lr', 1e-3)
         hp.setdefault('disc_iters', 8)
         hp.setdefault('disc_batch', 4096)
@@ -80,10 +80,25 @@ class AMP(PPO):
                 "(see record_demo_transitions)"
             )
         self.demos = jnp.asarray(demos, jnp.float32)
+        # discriminate in a feature subspace of the observation (AMP joint
+        # features, utils/motion.py) when given; None = whole-obs pairs
+        self.feature_idx = (None if feature_idx is None
+                            else jnp.asarray(feature_idx, jnp.int32))
+        if self.feature_idx is not None and \
+                self.demos.shape[-1] != self.feature_idx.shape[0]:
+            raise ValueError(
+                f"demo feature dim {self.demos.shape[-1]} != "
+                f"feature_idx dim {self.feature_idx.shape[0]}"
+            )
         self.disc = core.MLP(
             sizes=tuple(self.hp['disc_hidden']) + (1,), activation='relu'
         )
         self._disc_opt = optax.adam(self.hp['disc_lr'])
+
+    def _features(self, obs):
+        if self.feature_idx is None:
+            return obs
+        return obs[..., self.feature_idx]
 
     # -- discriminator plumbing -------------------------------------------
 
@@ -100,7 +115,9 @@ class AMP(PPO):
 
     def init_extra(self, rng, nets):
         k1, k2 = jax.random.split(rng)
-        dummy = jnp.zeros((1, 2 * nets.obs_dim), jnp.float32)
+        feat_dim = (nets.obs_dim if self.feature_idx is None
+                    else int(self.feature_idx.shape[0]))
+        dummy = jnp.zeros((1, 2 * feat_dim), jnp.float32)
         disc = self.disc.init(k1, dummy)
         return {'disc': disc, 'disc_opt': self._disc_opt.init(disc),
                 'disc_rng': k2}
@@ -113,9 +130,9 @@ class AMP(PPO):
     # -- runner hook: blend style reward before GAE ------------------------
 
     def shape_rewards(self, nets, s, batch):
-        obs = batch['obs']  # (T, B, O)
+        obs = self._features(batch['obs'])  # (T, B, F)
         nxt = jnp.concatenate([obs[1:], obs[-1:]], axis=0)
-        pairs = jnp.stack([obs, nxt], axis=2)  # (T, B, 2, O)
+        pairs = jnp.stack([obs, nxt], axis=2)  # (T, B, 2, F)
         r_style = self.style_reward(s.extra['disc'], pairs)
         # a transition across a reset is not a policy transition: fall back
         # to the task reward alone there (done masks the pair)

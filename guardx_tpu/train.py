@@ -115,10 +115,25 @@ def run(args) -> dict:
         if not getattr(args, 'amp_demos', None):
             raise SystemExit(
                 "--algo amp needs --amp_demos <file.npz> holding an "
-                "(N, 2, obs_dim) 'pairs' array "
-                "(guardx_tpu.algos.algorithms.amp.record_demo_transitions)"
+                "(N, 2, F) 'pairs' array (tools/make_demo_clip.py for "
+                "joint-feature clips, or amp.record_demo_transitions for "
+                "whole-obs pairs)"
             )
-        algo_kw['demos'] = _np.load(args.amp_demos)['pairs']
+        demos = _np.load(args.amp_demos)['pairs']
+        algo_kw['demos'] = demos
+        if demos.shape[-1] != env.obs_flat_size:
+            # joint-feature demos (utils/motion.py): discriminate on the
+            # matching joint slices of the observation
+            from guardx_tpu.utils.motion import feature_indices
+
+            idx = feature_indices(env)
+            if demos.shape[-1] != idx.shape[0]:
+                raise SystemExit(
+                    f"demo feature dim {demos.shape[-1]} matches neither "
+                    f"the obs dim {env.obs_flat_size} nor the joint-"
+                    f"feature dim {idx.shape[0]} for task {args.task}"
+                )
+            algo_kw['feature_idx'] = idx
     algo = algo_cls(**algo_kw)
     if args.one_episode:
         algo.one_episode = True

@@ -9,8 +9,10 @@ backend has not been initialized yet.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-# the persistent compile cache is keyed for the TPU host; avoid noisy
-# machine-feature mismatch warnings in CPU test runs
+# the framework's persistent compile cache is keyed for the TPU host;
+# tests get their OWN CPU-keyed cache instead (set GUARDX_TEST_NO_CACHE=1
+# to force cold compiles) — warm runs of the quick tier drop from ~13 min
+# to a few minutes on this 2-core host
 os.environ["GUARDX_NO_COMPILE_CACHE"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -29,6 +31,19 @@ try:
 except Exception:
     pass
 jax.config.update("jax_enable_x64", False)
+
+if not os.environ.get("GUARDX_TEST_NO_CACHE"):
+    cache_dir = os.environ.get(
+        "GUARDX_TEST_CACHE_DIR",
+        os.path.expanduser("~/.cache/guardx_tpu_test_jit"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    try:
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
 
 
 def pytest_report_header(config):

@@ -19,7 +19,8 @@ from guardx_tpu.envs.registry import configuration
 # big-morphology robots (humanoid nv=23+, arm6 nv=9 with deep chains) cost
 # minutes of CPU jit each; they run under -m slow, the small ones by default
 ROBOTS = [
-    "hopper", "drone",
+    "hopper",
+    pytest.param("drone", marks=pytest.mark.slow),
     pytest.param("humanoid", marks=pytest.mark.slow),
     pytest.param("arm3", marks=pytest.mark.slow),
     pytest.param("arm6", marks=pytest.mark.slow),

@@ -19,6 +19,7 @@ def env():
                              num_steps=12, seed=0)
 
 
+@pytest.mark.slow
 def test_dr_params_vary_per_env_and_per_reset(env):
     """Randomized multipliers must differ across envs AND change when an
     env resets (the reference draws on every reset event)."""
@@ -40,6 +41,7 @@ def test_dr_params_vary_per_env_and_per_reset(env):
                                err_msg="non-done envs' DR changed")
 
 
+@pytest.mark.slow
 def test_dr_changes_dynamics(env):
     """A heavier-gravity multiplier must change the physics outcome for
     the same state and actions."""
