@@ -40,9 +40,16 @@ on TPU with no external dependency:
                     respawns on success (IsaacGymEnvs tasks/allegro_kuka/
                     allegro_kuka_regrasping.py); trained with the
                     recurrent (LSTM) policy the registry name implies
+    AllegroKukaTwoArmsLSTM — two mirrored arm+hand rigs over one
+                    workspace, target volume spanning both reaches
+                    (tasks/allegro_kuka/allegro_kuka_two_arms_regrasping
+                    .py — the reference README's flagship example)
+    AllegroHandDextremeADR — AllegroHand reorientation under automatic
+                    domain randomization (tasks/dextreme/; envs/randomize)
 
-The remaining registry names (AllegroKukaTwoArmsLSTM,
-AllegroHandDextremeADR) stay adapter-only (guardx_tpu.envs.wrappers).
+Every IsaacGym registry name now runs natively on TPU; the external-
+binary adapter (guardx_tpu.envs.wrappers, GUARDX_ISAAC_BINARY=1) remains
+available for GPU hosts with a real Isaac install.
 
 The reward structures follow the IsaacGym task definitions (progress +
 alive - energy for locomotion; angle/velocity penalties for cartpole;
@@ -88,7 +95,8 @@ class BenchState:
 class _TaskSpec:
     def __init__(self, xml, reset_noise=0.05, z_lo=None, z_hi=None,
                  forward_scale=1.0, alive_bonus=0.5, energy_cost=0.005,
-                 kind='locomotion', terrain=None, substeps=None, dr=False):
+                 kind='locomotion', terrain=None, substeps=None, dr=False,
+                 target_volume=None):
         self.xml = xml
         self.reset_noise = reset_noise
         self.z_lo, self.z_hi = z_lo, z_hi
@@ -99,6 +107,8 @@ class _TaskSpec:
         self.terrain = terrain
         self.substeps = substeps
         self.dr = dr
+        # kuka target volume (lo, hi) corners; None = single-arm default
+        self.target_volume = target_volume
 
 
 TASKS = {
@@ -129,6 +139,14 @@ TASKS = {
     # The LSTM registry name selects a recurrent policy in the Trainer.
     'AllegroKukaLSTM': _TaskSpec('kuka_allegro.xml', reset_noise=0.04,
                                  kind='kuka', substeps=2),
+    # two mirrored arms sharing one workspace; the target volume spans
+    # BOTH arms' reach so far-side targets need a handover
+    # (allegro_kuka_two_arms_regrasping.py; the reference README's
+    # flagship example, /root/reference/train.py:7-14)
+    'AllegroKukaTwoArmsLSTM': _TaskSpec(
+        'kuka_allegro_two.xml', reset_noise=0.04, kind='kuka', substeps=2,
+        target_volume=([-0.25, -0.55, 0.2], [0.25, 0.55, 0.5]),
+    ),
     # Dextreme: AllegroHand in-hand reorientation under Automatic Domain
     # Randomization (tasks/dextreme/allegro_hand_dextreme.py +
     # adr_vec_task.py); DR multipliers live in BenchState.dr, the ADR
@@ -200,16 +218,22 @@ class NativeBenchEngine:
         if spec.kind == 'kuka':
             self._cube_adr = self.meta['jnt_name2qposadr']['cube']
             self._tips = []
-            for i in range(4):
+            i = 0
+            while f'f{i}_tip' in self.meta['geom_name2id']:
                 gid = self.meta['geom_name2id'][f'f{i}_tip']
                 self._tips.append((
                     int(self.mj_model.geom_bodyid[gid]),
                     jnp.asarray(self.mj_model.geom_pos[gid], jnp.float32),
                 ))
-            # bent ready pose over the cube (see kuka_allegro.xml header)
+                i += 1
+            self._n_arms = len(self._tips) // 4
+            # bent ready pose over the cube (see kuka_allegro.xml header);
+            # every arm (suffix _b for the second) bends identically
             qinit = np.array(self.mj_model.qpos0, dtype=np.float32)
-            for jname, v in (('kj2', 0.873), ('kj4', 1.047), ('kj6', 0.524)):
-                qinit[self.meta['jnt_name2qposadr'][jname]] = v
+            for base, v in (('kj2', 0.873), ('kj4', 1.047), ('kj6', 0.524)):
+                for jname in (base, base + '_b'):
+                    if jname in self.meta['jnt_name2qposadr']:
+                        qinit[self.meta['jnt_name2qposadr'][jname]] = v
             self._kuka_qinit = jnp.asarray(qinit)
         if spec.kind == 'cabinet':
             self._drawer_adr = self.meta['jnt_name2qposadr']['drawer_slide']
@@ -284,11 +308,14 @@ class NativeBenchEngine:
             # cube pos (3), target quat (4)
             return 44
         if self.spec.kind == 'kuka':
-            # arm+hand qpos/qvel (30), cube pose (7), cube linvel (3),
-            # target-cube delta (3), fingertip-to-cube vectors (12),
-            # lifted flag (1) — mirrors the reference's full-state obs
-            # (allegro_kuka_base.py:196-215 keypoint/lifted blocks)
-            return 56
+            # per-arm qpos/qvel (2 x 15 dofs each), cube pose (7), cube
+            # linvel (3), target-cube delta (3), fingertip-to-cube vectors
+            # (3 per tip), lifted flag (1) — mirrors the reference's
+            # full-state obs (allegro_kuka_base.py:196-215 and the
+            # two-arms variant's num_arms-scaled blocks,
+            # allegro_kuka_two_arms.py:176-195)
+            n_dof = 15 * self._n_arms
+            return 2 * n_dof + 7 + 3 + 3 + 3 * len(self._tips) + 1
         # locomotion: qpos minus root xy, full qvel
         return (self.model.nq - 2) + self.model.nv
 
@@ -352,17 +379,18 @@ class NativeBenchEngine:
             ])
         if self.spec.kind == 'kuka':
             a = self._cube_adr
+            n_dof = 15 * self._n_arms
             cube_pos = jax.lax.dynamic_slice(qpos, (a,), (3,))
             cube_quat = jax.lax.dynamic_slice(qpos, (a + 3,), (4,))
             cube_v = jax.lax.dynamic_slice(qvel, (a,), (3,))
             tips = jnp.stack([
                 self._geom_world(state.data, t) for t in self._tips
-            ])  # (4, 3)
+            ])  # (n_tips, 3)
             return jnp.concatenate([
-                qpos[:15], qvel[:15], cube_pos, cube_quat, cube_v,
+                qpos[:n_dof], qvel[:n_dof], cube_pos, cube_quat, cube_v,
                 state.target[:3] - cube_pos,
                 (tips - cube_pos).reshape(-1),
-                state.aux[4:5],  # lifted flag
+                state.aux[len(self._tips):len(self._tips) + 1],  # lifted
             ])
         return jnp.concatenate([qpos[2:], qvel])
 
@@ -496,6 +524,12 @@ class NativeBenchEngine:
     KUKA_ARM_PENALTY = 0.003
     KUKA_HAND_PENALTY = 0.0003
 
+    def _kuka_volume(self):
+        tv = self.spec.target_volume
+        if tv is None:
+            tv = ([0.35, -0.25, 0.2], [0.8, 0.25, 0.5])
+        return jnp.asarray(tv[0], jnp.float32), jnp.asarray(tv[1], jnp.float32)
+
     def _kuka_reward(self, mid: BenchState, action):
         """Regrasping reward (allegro_kuka_base.py:759-905 structure):
 
@@ -515,10 +549,11 @@ class NativeBenchEngine:
         tips = jnp.stack([
             self._geom_world(data, t) for t in self._tips
         ])  # (4, 3)
-        cur_d = jnp.linalg.norm(tips - cube, axis=-1)  # (4,)
+        cur_d = jnp.linalg.norm(tips - cube, axis=-1)  # (n_tips,)
 
-        cf, lifted = aux[0:4], aux[4]
-        closest_kp, successes, init_z = aux[5], aux[7], aux[8]
+        n = len(self._tips)
+        cf, lifted = aux[0:n], aux[n]
+        closest_kp, successes, init_z = aux[n + 1], aux[n + 3], aux[n + 4]
         # resolve the -1 first-use sentinels to the current distances
         # (allegro_kuka_base.py:1044,1078): first step earns zero delta
         cf = jnp.where(cf < 0.0, cur_d, cf)
@@ -538,8 +573,14 @@ class NativeBenchEngine:
         kp_delta = jnp.clip(closest_kp - kp_dist, 0.0, 100.0) * lifted_new
         closest_kp_new = jnp.minimum(closest_kp, kp_dist)
 
-        arm_pen = self.KUKA_ARM_PENALTY * jnp.sum(jnp.abs(data.qvel[0:7]))
-        hand_pen = self.KUKA_HAND_PENALTY * jnp.sum(jnp.abs(data.qvel[7:15]))
+        arm_dofs = jnp.concatenate([
+            data.qvel[15 * k:15 * k + 7] for k in range(self._n_arms)
+        ])
+        hand_dofs = jnp.concatenate([
+            data.qvel[15 * k + 7:15 * (k + 1)] for k in range(self._n_arms)
+        ])
+        arm_pen = self.KUKA_ARM_PENALTY * jnp.sum(jnp.abs(arm_dofs))
+        hand_pen = self.KUKA_HAND_PENALTY * jnp.sum(jnp.abs(hand_dofs))
 
         near_goal = (kp_dist <= self.KUKA_SUCCESS_TOL).astype(jnp.float32)
         success = near_goal  # successSteps = 1 (AllegroKuka.yaml:88)
@@ -556,11 +597,10 @@ class NativeBenchEngine:
         # success: respawn the target and put the object back on the
         # surface with fresh trackers (the reference's _reset_target)
         rng, k_t, k_c = jax.random.split(mid.rng, 3)
+        tv_lo, tv_hi = self._kuka_volume()
         new_target = jnp.concatenate([
-            jax.random.uniform(
-                k_t, (3,), minval=jnp.array([0.35, -0.25, 0.2]),
-                maxval=jnp.array([0.8, 0.25, 0.5]),
-            ), jnp.zeros(1),
+            jax.random.uniform(k_t, (3,), minval=tv_lo, maxval=tv_hi),
+            jnp.zeros(1),
         ])
         cube_xy = self._kuka_qinit[a:a + 2] + jax.random.uniform(
             k_c, (2,), minval=-0.08, maxval=0.08
@@ -579,13 +619,14 @@ class NativeBenchEngine:
             qvel=jnp.where(w, qvel_s, data.qvel),
         )
         target = jnp.where(w, new_target, mid.target)
+        init_z_slot = aux[n + 4:n + 5]
         aux_cont = jnp.concatenate([
             cf_new, lifted_new[None], closest_kp_new[None],
-            near_goal[None], (successes + success)[None], aux[8:9],
+            near_goal[None], (successes + success)[None], init_z_slot,
         ])
         aux_succ = jnp.concatenate([
-            jnp.full((4,), -1.0), jnp.zeros(1), jnp.full((1,), -1.0),
-            jnp.zeros(1), (successes + success)[None], aux[8:9],
+            jnp.full((n,), -1.0), jnp.zeros(1), jnp.full((1,), -1.0),
+            jnp.zeros(1), (successes + success)[None], init_z_slot,
         ])
         aux = jnp.where(w, aux_succ, aux_cont)
 
@@ -669,11 +710,11 @@ class NativeBenchEngine:
             ))
         elif self.spec.kind == 'kuka':
             # in-air target volume over the workspace (the reference's
-            # target_volume_origin/extent, allegro_kuka_base.py:251-252,
-            # shifted to this rig's geometry)
+            # target_volume_origin/extent, allegro_kuka_base.py:251-252 /
+            # allegro_kuka_two_arms.py:242-243, shifted to this rig)
+            tv_lo, tv_hi = self._kuka_volume()
             target = pad1(jax.random.uniform(
-                k_t, (3,), minval=jnp.array([0.35, -0.25, 0.2]),
-                maxval=jnp.array([0.8, 0.25, 0.5]),
+                k_t, (3,), minval=tv_lo, maxval=tv_hi,
             ))
         elif self.spec.kind == 'inhand_quat':
             # random target orientation: uniform axis, bounded angle
@@ -708,13 +749,15 @@ class NativeBenchEngine:
             dr = randomize.sample_mult(k_dr, dr)
         data = physics.forward(self.model, data)
         if self.spec.kind == 'kuka':
-            # [cf0..cf3 closest fingertip dists, lifted, closest kp dist,
-            #  near-goal steps, successes, object spawn z]; -1 sentinels
-            # resolve to the current distance on first use, so the first
-            # step earns zero delta reward (allegro_kuka_base.py:346,1044)
+            # [cf0..cf(n-1) closest fingertip dists, lifted, closest kp
+            #  dist, near-goal steps, successes, object spawn z]; -1
+            # sentinels resolve to the current distance on first use, so
+            # the first step earns zero delta reward
+            # (allegro_kuka_base.py:346,1044)
             a = self._cube_adr
+            n = len(self._tips)
             aux = jnp.concatenate([
-                jnp.full((4,), -1.0), jnp.zeros(1), jnp.full((1,), -1.0),
+                jnp.full((n,), -1.0), jnp.zeros(1), jnp.full((1,), -1.0),
                 jnp.zeros(2), qpos[a + 2:a + 3],
             ])
         else:

@@ -159,7 +159,11 @@ class ADRManager:
             probe_mask[idx] = True
         pop = per_env_ret[~probe_mask]
         pop_mean = float(pop.mean()) if pop.size else 0.0
+        # FIXED metric schema (the TSV logger pins its header on the
+        # first epoch): per-dim widths always, probe performances as a
+        # mean over this epoch's groups
         metrics = {}
+        probe_perfs = []
         for d, side, idx in self._groups:
             g = float(per_env_ret[idx].mean())
             width = self.hi[d] - self.lo[d]
@@ -180,7 +184,7 @@ class ADRManager:
                     self.lo[d] += step
                 else:
                     self.hi[d] -= step
-            metrics[f'ADR_{DR_NAMES[d]}_{side}_perf'] = g
+            probe_perfs.append(g)
         self.lo = np.clip(self.lo, LIMIT_LO, LIMIT_HI)
         self.hi = np.clip(self.hi, LIMIT_LO, LIMIT_HI)
         # keep ordered with a minimum width around the identity point
@@ -188,6 +192,10 @@ class ADRManager:
         mid = 0.5 * (self.lo + self.hi)
         self.lo[swap] = mid[swap]
         self.hi[swap] = mid[swap]
+        for d in range(DR_NDIM):
+            metrics[f'ADR_width_{DR_NAMES[d]}'] = float(self.hi[d] - self.lo[d])
         metrics['ADR_mean_width'] = float((self.hi - self.lo).mean())
         metrics['ADR_pop_ret'] = pop_mean
+        metrics['ADR_probe_ret'] = (float(np.mean(probe_perfs))
+                                    if probe_perfs else 0.0)
         return metrics

@@ -229,3 +229,25 @@ def test_kuka_regrasp_reward_semantics():
     assert float(env._state.data.qpos[0, a + 2]) < 0.1
     assert float(env._state.aux[0, 4]) == 0.0  # lifted reset
     assert float(env._state.aux[0, 7]) == 1.0  # success count
+
+
+@pytest.mark.slow
+def test_kuka_two_arms_constructs_and_steps():
+    """AllegroKukaTwoArmsLSTM: two mirrored arms, 8 fingertips, shared
+    reward trackers sized to the tip count, wide target volume
+    (allegro_kuka_two_arms_regrasping.py semantics)."""
+    env = NativeBenchEngine('AllegroKukaTwoArmsLSTM', env_num=2,
+                            num_steps=16, seed=0)
+    assert len(env._tips) == 8 and env._n_arms == 2
+    assert env.action_space.shape == (30,)
+    obs = env.reset()
+    assert obs.shape == (2, env.obs_flat_size)
+    # aux sized to 8 fingertip trackers + 5 scalars
+    assert env._state.aux.shape == (2, 13)
+    a = jnp.zeros((2, 30))
+    for _ in range(3):
+        obs, rew, done, info = env.step(a)
+    assert bool(jnp.isfinite(obs).all())
+    # target volume spans both sides of the workspace
+    tv_lo, tv_hi = env._kuka_volume()
+    assert float(tv_lo[1]) < -0.4 and float(tv_hi[1]) > 0.4
