@@ -88,13 +88,21 @@ class USL(TRPO):
         use = epoch_frac > self.hp['warmup_ratio']
         a_safe = jnp.where(use, corrected, a)
         qc = self._qc.apply(s.extra['qc'], obs, a_safe)
-        return a_safe, {'qc': qc}
+        # observability: how far the correction moved the action (0 during
+        # warmup) — surfaces whether the Qc descent is actually active
+        corr = jnp.linalg.norm(a_safe - a, axis=-1)
+        return a_safe, {'qc': qc, 'corr_mag': corr}
 
     def process_cost(self, cost, carry, done):
         new_carry = {'prev_c': jnp.where(done > 0, 0.0, cost)}
         return cost, new_carry, {'prev_cost': carry['prev_c']}
 
     # ---- update ----------------------------------------------------------
+    def update(self, nets, s, data, aux, opts):
+        s, metrics = super().update(nets, s, data, aux, opts)
+        metrics['CorrectionMag'] = wmean(data['corr_mag'], data['valid'])
+        return s, metrics
+
     def post_accept(self, nets, s, data, aux, c, accepted, opts):
         # Qc TD fit: target = cost + gamma * qc_{t+1} * (1-done)
         # (usl.py:107,127 with zeroed bootstrap at segment ends)

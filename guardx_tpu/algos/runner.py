@@ -188,13 +188,24 @@ class Trainer:
             )
 
             # ---- episode accounting (cpo.py:609-665) ----
-            ep_ret = acc['ep_ret'] + rew
-            ep_cost = acc['ep_cost'] + cost
-            ep_cost_ret = acc['ep_cost_ret'] + cost * acc['gamma_pow']
-            ep_len = acc['ep_len'] + 1.0
+            # one-episode mode: the env keeps stepping after its first
+            # done WITHOUT a reset, so `done` re-fires every subsequent
+            # step (e.g. the robot parked inside the goal); only the FIRST
+            # episode per env is an episode (the reference's
+            # first_done_idx bookkeeping, trpo_one_episode/trpo.py:444,
+            # 494-503) — gate both accumulation and logging on it
+            if algo.one_episode:
+                gate = 1.0 - acc['done_before']
+                d = done * gate
+            else:
+                gate = 1.0
+                d = done
+            ep_ret = acc['ep_ret'] + rew * gate
+            ep_cost = acc['ep_cost'] + cost * gate
+            ep_cost_ret = acc['ep_cost_ret'] + cost * acc['gamma_pow'] * gate
+            ep_len = acc['ep_len'] + gate
             max_ep_len_ret = acc['max_ep_len_ret'] + rew
 
-            d = done
             acc = dict(
                 acc,
                 ep_ret=ep_ret * (1 - d), ep_cost=ep_cost * (1 - d),
@@ -210,6 +221,8 @@ class Trainer:
                 sum_cost_all=acc['sum_cost_all'] + jnp.sum(cost),
                 sum_v=acc['sum_v'] + jnp.sum(v),
             )
+            if algo.one_episode:
+                acc['done_before'] = jnp.maximum(acc['done_before'], done)
             if 'ep_max_cost' in cost_extra:
                 acc['sum_ep_max_cost'] = acc['sum_ep_max_cost'] + jnp.sum(
                     d * cost_extra['ep_max_cost']
@@ -258,6 +271,8 @@ class Trainer:
         )
         if self.algo.augments_obs:
             acc0['sum_ep_max_cost'] = jnp.float32(0.0)
+        if self.algo.one_episode:
+            acc0['done_before'] = jnp.zeros(B)
 
         # LSTM carries start at zero: every epoch begins from a full env
         # reset (runner epoch-end), so no hidden state crosses epochs

@@ -127,3 +127,30 @@ def test_recurrent_trainer_epoch(algo_name):
         assert np.isfinite(v), f"{algo_name} metric {k} not finite: {v}"
     p1 = jax.tree_util.tree_leaves(tr.state.algo.pi)[0]
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+@pytest.mark.slow
+def test_recurrent_checkpoint_roundtrip(tmp_path):
+    """Orbax checkpoint/resume round-trips the recurrent RunnerState
+    (LSTM params + opt states) exactly."""
+    from guardx_tpu.envs import Engine
+    from guardx_tpu.algos.runner import Trainer
+    from guardx_tpu.algos.algorithms import REGISTRY
+    from guardx_tpu.utils import checkpoint as ckpt
+
+    env = Engine({'env_num': 4, 'num_steps': 8, 'task': 'goal',
+                  'goal_size': 0.5, 'hazards_num': 8, 'hazards_size': 0.3,
+                  'constrain_hazards': True, 'constrain_indicator': False,
+                  '_seed': 0, 'gx_layout_pool': 2048})
+    tr = Trainer(env, REGISTRY['ppo'](), seed=0, recurrent=True,
+                 hidden_sizes=(16,), lstm_size=8)
+    tr.run_epoch(0)
+    ckpt.save_checkpoint(str(tmp_path), tr.state, 1, tr.T * tr.B)
+
+    tr2 = Trainer(env, REGISTRY['ppo'](), seed=1, recurrent=True,
+                  hidden_sizes=(16,), lstm_size=8)
+    restored, epoch, steps = ckpt.restore_checkpoint(str(tmp_path), tr2.state)
+    assert epoch == 1 and steps == tr.T * tr.B
+    for a, b in zip(jax.tree_util.tree_leaves(tr.state.algo.pi),
+                    jax.tree_util.tree_leaves(restored.algo.pi)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
