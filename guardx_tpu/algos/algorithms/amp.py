@@ -139,13 +139,13 @@ class AMP(PPO):
         done = batch['done']
         w_t, w_s = self.hp['task_reward_w'], self.hp['disc_reward_w']
         blended = w_t * batch['rew'] + w_s * r_style
-        rew = jnp.where(done > 0.0, batch['rew'], blended)
         # validity of each pair as a genuine policy transition: a done step
         # crosses a reset, and the final timestep's pair is a degenerate
         # self-pair (obs[-1], obs[-1]) — both are masked out of
-        # discriminator training (mirrors amp_continuous.py, which only
-        # collects within-episode transitions)
+        # discriminator training AND of the reward blend (mirrors
+        # amp_continuous.py, which only collects within-episode transitions)
         pair_valid = (1.0 - done).at[-1, :].set(0.0)
+        rew = jnp.where(pair_valid > 0.0, blended, batch['rew'])
         return dict(batch, rew=rew, amp_pairs=pairs, amp_pair_valid=pair_valid)
 
     # -- update: PPO + discriminator --------------------------------------

@@ -227,10 +227,20 @@ def make_curvature_kl(nets: Networks, data: dict, max_n: int | None = None):
         logstd_old = data['logstd'].reshape(T, B, -1)
         w = data['valid'].reshape(T, B)
         if max_n and T * B > max_n:
-            stride = -(-(T * B) // max_n)
+            # env-axis stride first (full T per kept env); clamp to B so a
+            # few-envs/long-horizon batch can't stride past every env
+            stride = min(-(-(T * B) // max_n), B)
             obs_tb, done_prev = obs_tb[:, ::stride], done_prev[:, ::stride]
             mu_old, logstd_old = mu_old[:, ::stride], logstd_old[:, ::stride]
             w = w[:, ::stride]
+            # if T alone still exceeds the cap, replay a full PREFIX of the
+            # sequence (prefix keeps the carry replay valid from t=0)
+            kept_b = obs_tb.shape[1]
+            if T * kept_b > max_n:
+                t_keep = max(1, max_n // kept_b)
+                obs_tb, done_prev = obs_tb[:t_keep], done_prev[:t_keep]
+                mu_old, logstd_old = mu_old[:t_keep], logstd_old[:t_keep]
+                w = w[:t_keep]
 
         def kl(params):
             mu, log_std = nets.pi_seq(params, obs_tb, done_prev)

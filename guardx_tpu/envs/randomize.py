@@ -127,7 +127,15 @@ class ADRManager:
         Returns the updated (batched) env_state."""
         B = self.env_num
         n_group = max(1, int(B * self.probe_frac))
-        dims = self.rs.choice(DR_NDIM, size=self.n_probe_dims, replace=False)
+        # the 2*n_probe_dims probe groups must fit inside env_num — with
+        # small env counts the permutation slice would otherwise run dry,
+        # yielding empty groups and NaN probe means. Shrink the group size
+        # first, then the number of probed dims, keeping ≥1 free env.
+        n_dims = self.n_probe_dims
+        if 2 * n_dims * n_group >= B:
+            n_group = max(1, (B - 1) // max(1, 2 * n_dims))
+            n_dims = min(n_dims, max(1, (B - 1) // (2 * n_group)))
+        dims = self.rs.choice(DR_NDIM, size=n_dims, replace=False)
         perm = self.rs.permutation(B)
         lo = np.broadcast_to(self.lo, (B, DR_NDIM)).copy()
         hi = np.broadcast_to(self.hi, (B, DR_NDIM)).copy()
@@ -165,6 +173,8 @@ class ADRManager:
         metrics = {}
         probe_perfs = []
         for d, side, idx in self._groups:
+            if idx.size == 0:  # belt-and-braces: never mean an empty slice
+                continue
             g = float(per_env_ret[idx].mean())
             width = self.hi[d] - self.lo[d]
             step = self.step_frac * max(width, 1e-3)

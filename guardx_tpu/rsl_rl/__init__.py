@@ -83,14 +83,20 @@ class OnPolicyRunner:
         self.env = env
         self.log_dir = log_dir
         alg = cfg.get("algorithm", {})
-        hid = cfg.get("policy", {}).get("actor_hidden_dims", [64, 64])
+        pol = cfg.get("policy", {})
+        hid = pol.get("actor_hidden_dims", [64, 64])
+        # rsl_rl marks recurrence via policy.class_name=ActorCriticRecurrent
+        # (+ rnn_type/rnn_hidden_size); map that onto the LSTM actor-critic
+        recurrent = (pol.get("class_name") == "ActorCriticRecurrent"
+                     or "rnn_type" in pol)
         algo = REGISTRY["ppo"](
             gamma=alg.get("gamma", 0.99), lam=alg.get("lam", 0.95),
             target_kl=alg.get("desired_kl", 0.01),
         )
         self.trainer = Trainer(
             env, algo, seed=int(cfg.get("seed", 0)), epochs=1,
-            hidden_sizes=tuple(hid),
+            hidden_sizes=tuple(hid), recurrent=recurrent,
+            lstm_size=int(pol.get("rnn_hidden_size", 64)),
         )
         self.it = 0
 
@@ -134,7 +140,14 @@ class OnPolicyRunner:
 
     def get_inference_policy(self, device=None):
         """Deterministic (mean-action) policy fn obs -> action. Recurrent
-        policies thread their LSTM carry statefully inside the closure."""
+        policies thread their LSTM carry statefully inside the closure.
+
+        The returned policy accepts an optional ``dones`` argument
+        (``policy(obs, dones)``) and zeroes the carry rows where done
+        before stepping, mirroring the rollout's mask_carry semantics —
+        training always resets the carry at episode boundaries, so
+        inference must too or it acts on stale cross-episode memory.
+        A ``policy.reset()`` hook clears the whole carry."""
         import jax
         import jax.numpy as jnp
 
@@ -147,19 +160,26 @@ class OnPolicyRunner:
             carry = {'h': None}
 
             @jax.jit
-            def step(p, obs, h):
+            def step(p, obs, h, done):
+                h = _core.mask_carry(h, jnp.asarray(done, jnp.float32))
                 (mu, _), h = nets.pi_apply(p, obs, h)
                 return mu, h
 
-            def policy(obs):
+            def policy(obs, dones=None):
                 obs = jnp.asarray(obs)
                 if carry['h'] is None:
                     carry['h'] = _core.zero_carry(
                         obs.shape[:-1], nets.lstm_size
                     )
-                mu, carry['h'] = step(params, obs, carry['h'])
+                done = (jnp.zeros(obs.shape[:-1], jnp.float32)
+                        if dones is None else jnp.asarray(dones))
+                mu, carry['h'] = step(params, obs, carry['h'], done)
                 return mu
 
+            def reset():
+                carry['h'] = None
+
+            policy.reset = reset
             return policy
 
         @jax.jit

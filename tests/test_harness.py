@@ -228,3 +228,44 @@ def test_rsl_rl_runner_surface(tmp_path):
     obs = env.reset()
     act = policy(obs)
     assert act.shape == (4, 1)
+
+
+def test_rsl_rl_recurrent_inference_carry_resets(tmp_path):
+    """ADVICE r3 (medium): the recurrent inference policy must zero its
+    LSTM carry at episode boundaries (policy(obs, dones)) and expose a
+    reset() hook — training always masks the carry at done, so inference
+    must match or it acts on stale cross-episode memory."""
+    import numpy as np
+
+    from guardx_tpu.envs.bench_tasks import NativeBenchEngine
+    from guardx_tpu.rsl_rl import OnPolicyRunner
+
+    env = NativeBenchEngine("Cartpole", env_num=3, num_steps=8, seed=0)
+    runner = OnPolicyRunner(
+        env,
+        {"seed": 0,
+         "policy": {"class_name": "ActorCriticRecurrent",
+                    "rnn_hidden_size": 16}},
+    )
+    runner.learn(1)
+    policy = runner.get_inference_policy()
+    assert hasattr(policy, "reset")
+
+    obs = np.asarray(env.reset(), np.float32)
+    a0 = np.asarray(policy(obs))                # fresh carry
+    a_warm = np.asarray(policy(obs))            # carry now non-trivial
+    assert not np.allclose(a0, a_warm), "carry has no effect — not recurrent?"
+
+    # done on env 1 must reproduce the fresh-carry action for that env only
+    dones = np.array([0.0, 1.0, 0.0], np.float32)
+    a_done = np.asarray(policy(obs, dones))
+    a_cont = np.asarray(policy(obs))            # env 1 evolved again
+
+    policy.reset()
+    a_fresh0 = np.asarray(policy(obs))          # == a0 (full reset)
+    np.testing.assert_allclose(a_fresh0, a0, rtol=1e-6, atol=1e-6)
+    # the carry is zeroed BEFORE the step, so the done env reproduces the
+    # fresh-carry (start-of-episode) action; non-done envs do not
+    np.testing.assert_allclose(a_done[1], a0[1], rtol=1e-6, atol=1e-6)
+    assert not np.allclose(a_done[0], a0[0]), "non-done env lost its carry"
+    del a_cont

@@ -124,3 +124,29 @@ def test_dextreme_adr_trainer_epoch():
     assert 'PerEnvRet' in m and np.shape(m['PerEnvRet']) == (8,)
     out = adr.after_epoch(m['PerEnvRet'])
     assert 'ADR_mean_width' in out
+
+
+def test_adr_small_env_count_never_empty_groups():
+    """ADVICE r3: with tiny env counts the probe-group slices used to run
+    past the permutation, leaving empty groups and NaN probe metrics.
+    Groups must always be non-empty and metrics finite."""
+    for B in (2, 3, 4, 6):
+        adr = ADRManager(B, seed=0, probe_frac=0.4, n_probe_dims=3)
+
+        class _S:
+            dr = {'lo': jnp.zeros((B, DR_NDIM)),
+                  'hi': jnp.zeros((B, DR_NDIM)),
+                  'mult': jnp.zeros((B, DR_NDIM))}
+
+            def replace(self, **kw):
+                s = _S()
+                s.dr = kw.get('dr', self.dr)
+                return s
+
+        adr.before_epoch(_S())
+        assert adr._groups, f"B={B}: no probe groups at all"
+        for _, _, idx in adr._groups:
+            assert idx.size >= 1, f"B={B}: empty probe group"
+        metrics = adr.after_epoch(np.linspace(0.0, 1.0, B))
+        for k, v in metrics.items():
+            assert np.isfinite(v), f"B={B}: {k} non-finite ({v})"

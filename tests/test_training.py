@@ -98,3 +98,93 @@ def test_one_episode_mode(env, name):
     m = tr.run_epoch(0)
     for k, v in m.items():
         assert np.isfinite(v), f"{name} one-episode: {k} = {v}"
+
+
+class _ScriptedPool(tuple):
+    pass
+
+
+def _make_scripted_env():
+    """A minimal env with the Trainer surface whose done pattern is fully
+    scripted: env i's episode ends when its step counter reaches state
+    'thr'[i]. In one-episode mode nothing resets, so done RE-FIRES on
+    every later step — exactly the bb9d566 bug pattern (post-done
+    re-fires were being counted as extra zero-length episodes)."""
+    import jax.numpy as jnp
+    from typing import NamedTuple
+
+    class Pool(NamedTuple):
+        n_valid: jnp.ndarray
+
+    class Box:
+        shape = (2,)
+
+    class ScriptedEnv:
+        env_num = 4
+        num_steps = 16
+        obs_flat_size = 3
+        action_space = Box()
+        uses_layout_pool = False
+
+        def make_layout_pool(self, key):
+            return Pool(n_valid=jnp.int32(8))
+
+        def reset_single(self, key, pool):
+            state = {'t': jnp.int32(0), 'thr': jnp.int32(10_000)}
+            return jnp.zeros(3, jnp.float32), state
+
+        def step_single(self, state, action):
+            t2 = state['t'] + 1
+            done = (t2 >= state['thr']).astype(jnp.float32)
+            rew = jnp.float32(1.0)
+            cost = jnp.float32(0.25)
+            obs = jnp.zeros(3, jnp.float32)
+            return obs, rew, done, {'cost': cost}, dict(state, t=t2)
+
+        def reset_done_single(self, state, done, flat_obs, pool):
+            t = jnp.where(done > 0, jnp.int32(0), state['t'])
+            return flat_obs, dict(state, t=t)
+
+    return ScriptedEnv()
+
+
+def _scripted_trainer(one_episode):
+    import jax.numpy as jnp
+
+    env = _make_scripted_env()
+    algo = REGISTRY['trpo'](train_v_iters=1, train_vc_iters=1,
+                            backtrack_iters=2)
+    algo.one_episode = one_episode
+    tr = Trainer(env, algo, seed=0, epochs=1)
+    # script the per-env done thresholds: done first fires at step 2/5/16;
+    # env 3 never finishes (runs the full 16-step epoch)
+    st = tr.state
+    es = dict(st.env_state, thr=jnp.array([2, 5, 16, 100], jnp.int32))
+    tr.state = st.replace(env_state=es)
+    return tr
+
+
+def test_one_episode_accounting_exact():
+    """Numeric regression for the bb9d566 one-episode accounting bug:
+    post-done re-fires must NOT count as episodes. With thresholds
+    [2, 5, 16, never] over a 16-step epoch each env is exactly one
+    episode: EpRet = mean(2,5,16,16) = 9.75, EpLen likewise, EpCost =
+    0.25*EpLen, Episodes = 4."""
+    m = _scripted_trainer(one_episode=True).run_epoch(0)
+    assert float(m['Episodes']) == 4.0
+    np.testing.assert_allclose(float(m['EpRet']), 9.75, rtol=1e-6)
+    np.testing.assert_allclose(float(m['EpLen']), 9.75, rtol=1e-6)
+    np.testing.assert_allclose(float(m['EpCost']), 0.25 * 9.75, rtol=1e-6)
+
+
+def test_continuous_reset_accounting_exact():
+    """Same scripted pattern with mid-epoch auto-reset: env 0 completes
+    8 length-2 episodes, env 1 three length-5 ones (its trailing 1-step
+    fragment doesn't count), envs 2/3 one length-16 each →
+    13 episodes, EpRet = (8*2 + 3*5 + 16 + 16)/13."""
+    m = _scripted_trainer(one_episode=False).run_epoch(0)
+    assert float(m['Episodes']) == 13.0
+    np.testing.assert_allclose(float(m['EpRet']), 63.0 / 13.0, rtol=1e-6)
+    np.testing.assert_allclose(float(m['EpLen']), 63.0 / 13.0, rtol=1e-6)
+    np.testing.assert_allclose(float(m['EpCost']), 0.25 * 63.0 / 13.0,
+                               rtol=1e-6)
