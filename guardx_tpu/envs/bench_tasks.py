@@ -154,6 +154,16 @@ TASKS = {
     # wired in train.py)
     'AllegroHandDextremeADR': _TaskSpec('allegro.xml', reset_noise=0.03,
                                         kind='inhand', substeps=2, dr=True),
+    # HumanoidAMP: the reference's canonical AMP environment (vendored
+    # IsaacGymEnvs tasks/humanoid_amp.py + tasks/amp/humanoid_amp_base.py;
+    # not one of the 16 guardX registry names). 28-dof humanoid under PD
+    # position control, constant task reward, early termination below
+    # terminationHeight, reference-state init from real mocap frames;
+    # observation = the 105-dim AMP feature vector. Model timestep 1/120
+    # with 4 PD control substeps = 30 Hz control (HumanoidAMP.yaml dt
+    # 0.0166 / controlFrequencyInv 2). See envs/humanoid_amp.py.
+    'HumanoidAMP': _TaskSpec('amp_humanoid.xml', kind='humanoid_amp',
+                             substeps=1),
 }
 # the OpenAI_FF / OpenAI_LSTM variants are the same env trained with a
 # feedforward / LSTM policy (reference rl_games configs,
@@ -171,7 +181,7 @@ class NativeBenchEngine:
     ``reset_done_single`` plus the stateful gym-flavored batch API."""
 
     def __init__(self, task_name: str, env_num: int = 1, num_steps: int = 500,
-                 seed: int = 0):
+                 seed: int = 0, motion_files=None):
         if task_name not in TASKS:
             raise ValueError(
                 f"no native implementation for '{task_name}'; native tasks: "
@@ -235,6 +245,52 @@ class NativeBenchEngine:
                     if jname in self.meta['jnt_name2qposadr']:
                         qinit[self.meta['jnt_name2qposadr'][jname]] = v
             self._kuka_qinit = jnp.asarray(qinit)
+        if spec.kind == 'humanoid_amp':
+            from guardx_tpu.envs import humanoid_amp as ha
+            from guardx_tpu.utils import poselib
+
+            # 4 physics substeps per control step, PD torque recomputed at
+            # every substep (IsaacGym evaluates PhysX joint drives each sim
+            # substep; a 30 Hz zero-order hold would chatter at the ankle
+            # gains) — HumanoidAMP.yaml dt 0.0166 / controlFrequencyInv 2
+            self.control_substeps = 4
+            self.control_dt = self.model.timestep * self.control_substeps
+            files = motion_files or poselib.default_motion_files()
+            self.motion_lib = poselib.MotionLib(files)
+            self._motion_qpos = jnp.asarray(self.motion_lib.qpos)
+            self._motion_qvel = jnp.asarray(self.motion_lib.qvel)
+            # per-dof joint ranges (the 28 actuated hinges follow the free
+            # root: qpos 7..35, dofs 6..34 in declaration order)
+            jr = np.zeros((ha.NUM_DOF, 2), np.float64)
+            for j in range(1, self.mj_model.njnt):
+                dadr = int(self.mj_model.jnt_dofadr[j]) - 6
+                jr[dadr] = self.mj_model.jnt_range[j]
+            self._pd_kp, self._pd_kd, self._pd_offset, self._pd_scale = (
+                jnp.asarray(x) for x in ha.pd_tables(jr)
+            )
+            self._amp_gear = jnp.asarray(
+                np.asarray(self.model.actuator_gear), jnp.float32
+            )
+            self._key_body_ids = jnp.asarray([
+                self.meta['body_name2id'][n] for n in ha.KEY_BODIES
+            ])
+            # ctrl index i drives dof 6+i (motors declared in joint order)
+            assert np.array_equal(
+                np.asarray(self.model.actuator_dofadr),
+                np.arange(6, 6 + ha.NUM_DOF),
+            )
+            # per-frame demo AMP observations through the env's OWN
+            # FK/observation path (one batched call) so demo and policy
+            # features are the same manifold by construction — see
+            # utils/poselib.MotionLib.demo_pairs
+            def _frame_obs(qp, qv):
+                d = physics.make_data(self.model)
+                d = d.replace(qpos=qp, qvel=qv)
+                return self._humanoid_amp_obs(physics.forward(self.model, d))
+
+            self._motion_amp_obs = np.asarray(jax.jit(jax.vmap(_frame_obs))(
+                self._motion_qpos, self._motion_qvel
+            ))
         if spec.kind == 'cabinet':
             self._drawer_adr = self.meta['jnt_name2qposadr']['drawer_slide']
             # (body id, body-frame offset) pairs, resolved on the host
@@ -283,6 +339,10 @@ class NativeBenchEngine:
     def _obs_size(self):
         if self.spec.kind == 'cartpole':
             return 4
+        if self.spec.kind == 'humanoid_amp':
+            from guardx_tpu.envs import humanoid_amp as ha
+
+            return ha.NUM_OBS
         if self.spec.kind == 'hover':
             # pos error (3), yaw sin/cos (2), qvel (nv)
             return 5 + self.model.nv
@@ -319,8 +379,24 @@ class NativeBenchEngine:
         # locomotion: qpos minus root xy, full qvel
         return (self.model.nq - 2) + self.model.nv
 
+    def _humanoid_amp_obs(self, data):
+        """105-dim AMP/humanoid observation from simulation state
+        (envs/humanoid_amp.py build_amp_obs). Free-joint angular velocity
+        is body-frame in qvel; the obs builder wants world frame."""
+        from guardx_tpu.envs import humanoid_amp as ha
+        from guardx_tpu.physics import maths
+
+        root_quat = data.qpos[3:7]
+        ang_world = maths.quat_rotate(root_quat, data.qvel[3:6])
+        return ha.build_amp_obs(
+            data.qpos[0:3], root_quat, data.qvel[0:3], ang_world,
+            data.qpos[7:], data.qvel[6:], data.xpos[self._key_body_ids],
+        )
+
     def _observe(self, state: BenchState):
         qpos, qvel = state.data.qpos, state.data.qvel
+        if self.spec.kind == 'humanoid_amp':
+            return self._humanoid_amp_obs(state.data)
         if self.spec.kind == 'cartpole':
             return jnp.stack([qpos[0], qvel[0], qpos[1], qvel[1]])
         if self.spec.kind == 'hover':
@@ -399,6 +475,19 @@ class NativeBenchEngine:
     def _reward_done(self, state: BenchState, action):
         qpos, qvel = state.data.qpos, state.data.qvel
         spec = self.spec
+        if spec.kind == 'humanoid_amp':
+            # constant task reward (humanoid_amp_base.py
+            # compute_humanoid_reward: ones) — style comes from the AMP
+            # discriminator; early termination when the root falls below
+            # terminationHeight, skipping the first step after a reset
+            # (compute_humanoid_reset progress_buf > 1 guard)
+            from guardx_tpu.envs import humanoid_amp as ha
+
+            reward = jnp.float32(1.0)
+            fell = jnp.logical_and(
+                qpos[2] < ha.TERMINATION_HEIGHT, state.steps > 1
+            )
+            return reward, fell.astype(jnp.float32)
         if spec.kind == 'cartpole':
             # IsaacGymEnvs cartpole.py compute_cartpole_reward semantics:
             # upright bonus minus velocity penalties; hard reset (reward -2)
@@ -642,6 +731,26 @@ class NativeBenchEngine:
     # -- functional single-env API ------------------------------------------
 
     def _fresh(self, rng):
+        if self.spec.kind == 'humanoid_amp':
+            # reference-state initialization: a uniform random frame of a
+            # random mocap clip (HumanoidAMP.yaml stateInit: "Random";
+            # humanoid_amp.py _reset_ref_state_init)
+            rng, k_f = jax.random.split(rng)
+            idx = jax.random.randint(
+                k_f, (), 0, self._motion_qpos.shape[0]
+            )
+            data = physics.make_data(self.model)
+            data = data.replace(
+                qpos=self._motion_qpos[idx], qvel=self._motion_qvel[idx],
+                ctrl=jnp.zeros(self.model.nu, jnp.float32),
+            )
+            data = physics.forward(self.model, data)
+            return BenchState(
+                data=data, target=jnp.zeros(4, jnp.float32),
+                steps=jnp.int32(0), rng=rng,
+                aux=jnp.zeros(9, jnp.float32),
+                dr=randomize.init_dr(False),
+            )
         rng, k_q, k_v, k_t = jax.random.split(rng, 4)
         noise = self.spec.reset_noise
         qpos = self._qpos0 + noise * jax.random.uniform(
@@ -783,8 +892,27 @@ class NativeBenchEngine:
             action = action + mult[6] * jax.random.normal(
                 k_act, jnp.shape(action)
             )
-        data = state.data.replace(ctrl=action)
-        data = physics.step(model, data)
+        if self.spec.kind == 'humanoid_amp':
+            # PD position control (humanoid_amp_base.py _build_pd_action
+            # _offset_scale + pre_physics_step): action -> dof target,
+            # torque kp (target - q) - kd qd recomputed each physics
+            # substep, effort-limited by the motor gear (ctrlrange +-1)
+            target = self._pd_offset + self._pd_scale * action
+
+            def pd_substep(data, _):
+                tau = (self._pd_kp * (target - data.qpos[7:])
+                       - self._pd_kd * data.qvel[6:])
+                data = physics.step(
+                    model, data.replace(ctrl=tau / self._amp_gear)
+                )
+                return data, None
+
+            data, _ = jax.lax.scan(
+                pd_substep, state.data, (), length=self.control_substeps
+            )
+        else:
+            data = state.data.replace(ctrl=action)
+            data = physics.step(model, data)
         mid = state.replace(data=data)
 
         if self.spec.kind == 'kuka':
@@ -835,6 +963,19 @@ class NativeBenchEngine:
             merged = merged.replace(dr=dr, rng=rng2)
         obs = jnp.where(w, self._observe(fresh), flat_obs)
         return obs, merged
+
+    # -- AMP demo interface -------------------------------------------------
+
+    def demo_amp_pairs(self):
+        """(N, 2, 105) consecutive AMP-observation pairs from the loaded
+        mocap clips, one control step apart (reference fetch_amp_obs_demo;
+        numAMPObsSteps = 2) — feed directly to algos/algorithms/amp.AMP
+        as `demos` (the policy observation IS the AMP feature vector)."""
+        if self.spec.kind != 'humanoid_amp':
+            raise ValueError("demo_amp_pairs: HumanoidAMP only")
+        return self.motion_lib.demo_pairs(
+            self.control_dt, self._motion_amp_obs
+        )
 
     # -- stateful batched API (gym-flavored, parity with Engine) ------------
 

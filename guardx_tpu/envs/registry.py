@@ -63,6 +63,12 @@ ISAAC_GYM_TASKS = [
     'ShadowHandOpenAI_FF', 'ShadowHandOpenAI_LSTM', 'Trifinger',
 ]
 
+# vendored IsaacGymEnvs tasks beyond the 16 guardX registry names, exposed
+# under their IsaacGymEnvs names (the reference consumes them through
+# isaacgymenvs.make; HumanoidAMP is tasks/humanoid_amp.py — the canonical
+# AMP environment whose mocap clips utils/poselib.py ingests)
+VENDORED_ISAAC_TASKS = ['HumanoidAMP']
+
 
 def _guard_config(task: str, robot: str, constraint: str) -> dict:
     """One registry entry, with the same keys/values as the reference's
@@ -136,7 +142,7 @@ def _build_registry() -> dict:
     })
     reg['Goal_Point_8Hazards_nosensor'] = nosensor
     # IsaacGym tasks (safe_rl_env_config.py:2455-2566): name + device config
-    for name in ISAAC_GYM_TASKS:
+    for name in ISAAC_GYM_TASKS + VENDORED_ISAAC_TASKS:
         reg[name] = {
             'IsaacGym': True,
             'task_name': name,
@@ -216,9 +222,19 @@ def create_env(args):
         ):
             from guardx_tpu.envs.bench_tasks import NativeBenchEngine
 
+            kw = {}
+            motions = getattr(args, 'amp_motions', None)
+            if motions:
+                from guardx_tpu.utils.poselib import default_motion_files
+
+                names = [m.strip() for m in motions.split(',')]
+                kw['motion_files'] = [
+                    m if os.path.sep in m else default_motion_files([m])[0]
+                    for m in names
+                ]
             return NativeBenchEngine(
                 name, env_num=args.env_num, num_steps=args.max_ep_len,
-                seed=args.seed,
+                seed=args.seed, **kw,
             )
         from guardx_tpu.envs.wrappers import IsaacGymWrapper
 

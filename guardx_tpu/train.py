@@ -49,7 +49,13 @@ def get_parser() -> argparse.ArgumentParser:
                              '(default 1 = reference behavior)')
     parser.add_argument('--amp_demos', type=str, default=None,
                         help='npz with an (N, 2, obs_dim) "pairs" array of '
-                             'demo transitions (required for --algo amp)')
+                             'demo transitions (required for --algo amp on '
+                             'tasks without a motion library)')
+    parser.add_argument('--amp_motions', type=str, default=None,
+                        help='comma-separated mocap clips for HumanoidAMP '
+                             '(clip names like "walk,run" resolve to the '
+                             'reference-shipped poselib .npy files, or give '
+                             'paths); default walk,run')
     parser.add_argument('--one_episode', action='store_true',
                         help='one-episode-per-env epochs (the reference\'s '
                              '*_one_episode variants)')
@@ -112,28 +118,37 @@ def run(args) -> dict:
     if args.algo == 'amp':
         import numpy as _np
 
-        if not getattr(args, 'amp_demos', None):
+        if not getattr(args, 'amp_demos', None) and hasattr(
+            env, 'demo_amp_pairs'
+        ):
+            # HumanoidAMP: demo pairs come straight from the env's mocap
+            # motion library (reference fetch_amp_obs_demo); the policy
+            # observation IS the AMP feature space, so no feature_idx
+            algo_kw['demos'] = env.demo_amp_pairs()
+        elif not getattr(args, 'amp_demos', None):
             raise SystemExit(
                 "--algo amp needs --amp_demos <file.npz> holding an "
                 "(N, 2, F) 'pairs' array (tools/make_demo_clip.py for "
                 "joint-feature clips, or amp.record_demo_transitions for "
                 "whole-obs pairs)"
             )
-        demos = _np.load(args.amp_demos)['pairs']
-        algo_kw['demos'] = demos
-        if demos.shape[-1] != env.obs_flat_size:
-            # joint-feature demos (utils/motion.py): discriminate on the
-            # matching joint slices of the observation
-            from guardx_tpu.utils.motion import feature_indices
+        else:
+            demos = _np.load(args.amp_demos)['pairs']
+            algo_kw['demos'] = demos
+            if demos.shape[-1] != env.obs_flat_size:
+                # joint-feature demos (utils/motion.py): discriminate on
+                # the matching joint slices of the observation
+                from guardx_tpu.utils.motion import feature_indices
 
-            idx = feature_indices(env)
-            if demos.shape[-1] != idx.shape[0]:
-                raise SystemExit(
-                    f"demo feature dim {demos.shape[-1]} matches neither "
-                    f"the obs dim {env.obs_flat_size} nor the joint-"
-                    f"feature dim {idx.shape[0]} for task {args.task}"
-                )
-            algo_kw['feature_idx'] = idx
+                idx = feature_indices(env)
+                if demos.shape[-1] != idx.shape[0]:
+                    raise SystemExit(
+                        f"demo feature dim {demos.shape[-1]} matches "
+                        f"neither the obs dim {env.obs_flat_size} nor the "
+                        f"joint-feature dim {idx.shape[0]} for task "
+                        f"{args.task}"
+                    )
+                algo_kw['feature_idx'] = idx
     algo = algo_cls(**algo_kw)
     if args.one_episode:
         algo.one_episode = True
