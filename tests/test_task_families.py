@@ -197,3 +197,128 @@ def test_obs_dims_no_phantom_readings():
     assert np.all(o[lo:hi] == 0)
     lo, hi = slices['robbers_lidar']
     assert np.any(o[lo:hi] > 0)
+
+
+# ---------------------------------------------------------------------------
+# contract-pinning property tests (PARITY.md "gx task-family semantics"):
+# each pins one clause of the documented motion/reward law so the families
+# stay auditable (VERDICT r3 weak #6)
+# ---------------------------------------------------------------------------
+
+def test_ghost_travel_radius_clamp():
+    """Ghosts never roam farther than ghosts_travel from their spawn
+    anchor, no matter how long they chase."""
+    env = Engine({'env_num': 2, 'num_steps': 128, 'task': 'goal',
+                  'hazards_num': 0, 'ghosts_num': 4, 'observe_ghosts': True,
+                  'constrain_ghosts': True, 'ghosts_velocity': 0.2,
+                  'ghosts_travel': 1.0, '_seed': 3, 'gx_layout_pool': 4096})
+    env.reset()
+    zero = jnp.zeros((2, env.action_space.shape[0]), jnp.float32)
+    for t in range(60):
+        env.step(zero)
+        st = env._state
+        r = np.linalg.norm(
+            np.asarray(st.ghosts_pos) - np.asarray(st.ghosts_origin),
+            axis=-1,
+        )
+        assert r.max() <= env.ghosts_travel + 1e-5
+
+
+def test_ghost_safe_dist_retreat():
+    """A ghost inside ghosts_safe_dist backs AWAY from the robot."""
+    env = Engine({'env_num': 1, 'num_steps': 16, 'task': 'goal',
+                  'hazards_num': 0, 'ghosts_num': 1, 'observe_ghosts': True,
+                  'constrain_ghosts': True, 'ghosts_velocity': 0.05,
+                  'ghosts_safe_dist': 1.5, '_seed': 0,
+                  'gx_layout_pool': 4096})
+    env.reset()
+    st = env._state
+    robot = np.asarray(st.data.xpos[:, env.body_robot, :2])
+    near = jnp.asarray(robot + np.array([0.4, 0.0]), jnp.float32)[:, None, :]
+    # anchor the origin at the robot so the travel clamp cannot bind
+    env._state = st.replace(ghosts_pos=near, ghosts_origin=near)
+    d_prev = 0.4
+    zero = jnp.zeros((1, env.action_space.shape[0]), jnp.float32)
+    for t in range(5):
+        env.step(zero)
+        st = env._state
+        d = float(np.linalg.norm(
+            np.asarray(st.ghosts_pos[0, 0])
+            - np.asarray(st.data.xpos[0, env.body_robot, :2])
+        ))
+        assert d > d_prev - 1e-4  # monotone retreat (robot nearly static)
+        d_prev = d
+    assert d_prev > 0.5  # net retreat after 5 steps at 0.05/step
+
+
+def test_robbers_stay_in_arena():
+    """Fleeing robbers are clamped to the placements extents."""
+    env = Engine({'env_num': 2, 'num_steps': 128, 'task': 'chase',
+                  'hazards_num': 0, 'robbers_num': 2,
+                  'observe_robbers': True, 'robbers_velocity': 0.3,
+                  '_seed': 1, 'gx_layout_pool': 4096})
+    env.reset()
+    xmin, ymin, xmax, ymax = env.placements_extents
+    zero = jnp.zeros((2, env.action_space.shape[0]), jnp.float32)
+    for t in range(50):
+        env.step(zero)
+        p = np.asarray(env._state.robbers_pos)
+        assert (p[..., 0] >= xmin - 1e-5).all() and \
+            (p[..., 0] <= xmax + 1e-5).all()
+        assert (p[..., 1] >= ymin - 1e-5).all() and \
+            (p[..., 1] <= ymax + 1e-5).all()
+
+
+def test_defense_robbers_flee_near_attack_far():
+    """Defense motion law: a robber within 1.0 of the robot moves away
+    from it; a distant robber moves toward the goal."""
+    env = Engine({'env_num': 1, 'num_steps': 16, 'task': 'defense',
+                  'hazards_num': 0, 'robbers_num': 2,
+                  'observe_robbers': True, 'robbers_velocity': 0.05,
+                  '_seed': 0, 'gx_layout_pool': 4096})
+    env.reset()
+    st = env._state
+    robot = np.asarray(st.data.xpos[:, env.body_robot, :2])[0]
+    goal = np.asarray(st.goal_pos[0])
+    # both robbers must start INSIDE the placements extents (the motion
+    # law clamps to the arena — test_robbers_stay_in_arena): robber 0
+    # near the robot, toward the arena center; robber 1 at the in-arena
+    # corner farthest from the robot
+    to_center = -robot / (np.linalg.norm(robot) + 1e-8)
+    r0 = robot + 0.5 * to_center
+    corners = np.array([[1.8, 1.8], [1.8, -1.8], [-1.8, 1.8], [-1.8, -1.8]])
+    r1 = corners[np.argmax(np.linalg.norm(corners - robot, axis=-1))]
+    assert np.linalg.norm(r1 - robot) > 1.0
+    robbers = jnp.asarray(np.stack([r0, r1])[None], jnp.float32)
+    env._state = st.replace(robbers_pos=robbers)
+    env.step(jnp.zeros((1, env.action_space.shape[0]), jnp.float32))
+    p = np.asarray(env._state.robbers_pos[0])
+    new_robot = np.asarray(env._state.data.xpos[0, env.body_robot, :2])
+    # near robber: farther from the robot than before
+    assert np.linalg.norm(p[0] - new_robot) > np.linalg.norm(r0 - robot) - 1e-3
+    # far robber: closer to the goal than before
+    assert np.linalg.norm(p[1] - goal) < np.linalg.norm(r1 - goal)
+
+
+def test_push_box_depenetration_invariant():
+    """The kinematic box never interpenetrates the robot disc: after every
+    step, dist(box, robot) >= box_size + 0.2 (the contact radius), up to
+    one-step numerical slack."""
+    env = _env('Push_Point_8Hazards', env_num=2, steps=64)
+    env.reset()
+    st = env._state
+    robot = np.asarray(st.data.xpos[:, env.body_robot, :2])
+    env._state = st.replace(
+        box_pos=jnp.asarray(robot + np.array([0.3, 0.0]), jnp.float32)
+    )
+    contact_r = env.box_size + 0.2
+    act = jnp.tile(jnp.asarray([[1.0, 0.0]], jnp.float32), (2, 1))
+    for t in range(30):
+        env.step(act)
+        st = env._state
+        d = np.linalg.norm(
+            np.asarray(st.box_pos)
+            - np.asarray(st.data.xpos[:, env.body_robot, :2]),
+            axis=-1,
+        )
+        assert (d >= contact_r - 0.05).all()
