@@ -107,7 +107,6 @@ def run(args) -> dict:
         make_exp_name(args), args.seed, data_dir=args.data_dir
     )
     logger = EpochLogger(**logger_kwargs)
-    logger.save_config(vars(args))
 
     env = create_env(args)
     algo_cls = REGISTRY[args.algo]
@@ -152,6 +151,17 @@ def run(args) -> dict:
     algo = algo_cls(**algo_kw)
     if args.one_episode:
         algo.one_episode = True
+    # config.json records the RESOLVED algorithm hyperparameters (nu/lam
+    # learning rates, warmups, disc settings, ...), not just the CLI args —
+    # the r3 PDO run's nu values were unrecoverable from its log dir
+    # (VERDICT r3 weak #2)
+    logger.save_config({
+        **vars(args),
+        'algo_hp': {
+            k: v for k, v in sorted(algo.hp.items())
+            if isinstance(v, (int, float, str, bool, tuple, list, type(None)))
+        },
+    })
 
     mesh = None
     if args.mesh:
