@@ -27,8 +27,14 @@ from guardx_tpu.physics.model import Model, Data
 def _spd_factor(model: Model, Mh):
     """Factor (M + hD). For GUARD-sized nv the unrolled Cholesky
     (guardx_tpu.ops.tiny_chol) turns the batched solve into fused VPU
-    elementwise code; XLA's blocked cho_factor only wins at large nv."""
-    if model.nv <= tiny_chol.MAX_UNROLL_N:
+    elementwise code; XLA's blocked cho_factor wins beyond ~2 dozen dofs.
+
+    The cutover is empirical (measured B=2048): unrolled is faster up to
+    nv~21 (ant 11 / walker 13 / doggo 19 / shadow 21) and LOSES at nv=34
+    (amp_humanoid: 19.0 vs 13.8 ms) — and its O(nv^3) instruction count
+    dominates compile time (chol alone = 32k HLO lines at nv=34, ~80k of
+    the humanoid step's 137k)."""
+    if model.nv <= min(24, tiny_chol.MAX_UNROLL_N):
         return tiny_chol.chol_tiny(Mh), tiny_chol.chol_solve_tiny
     return cho_factor(Mh), cho_solve
 
