@@ -198,7 +198,18 @@ class AMP(PPO):
         _, (d_loss, gp) = disc_loss(disc)
         s = s.replace(extra={**s.extra, 'disc': disc, 'disc_opt': disc_opt,
                              'disc_rng': rng})
+        # separation evidence (amp_continuous.py disc_agent_acc/
+        # disc_demo_acc): mean logit per side + classification accuracy at
+        # the LSGAN decision boundary D = 0
+        d_demo = self._disc_apply(disc, demo)
+        d_pol = self._disc_apply(disc, pol)
         metrics = dict(metrics, LossDisc=d_loss, DiscGradPenalty=gp,
+                       DiscDemoLogit=jnp.mean(d_demo),
+                       DiscPolicyLogit=wmean(d_pol, w_pol),
+                       DiscDemoAcc=jnp.mean(d_demo > 0.0),
+                       DiscPolicyAcc=wmean(
+                           (d_pol < 0.0).astype(jnp.float32), w_pol
+                       ),
                        StyleReward=jnp.mean(
                            self.style_reward(disc, pol)
                        ))
