@@ -39,9 +39,10 @@ class Networks:
     recurrent = False
 
     def __init__(self, obs_dim: int, act_dim: int, hidden_sizes=(64, 64),
-                 vc_softplus: bool = False):
+                 vc_softplus: bool = False, log_std_init: float = -0.5):
         self.obs_dim, self.act_dim = obs_dim, act_dim
-        self.actor = core.GaussianActor(act_dim=act_dim, hidden_sizes=hidden_sizes)
+        self.actor = core.GaussianActor(act_dim=act_dim, hidden_sizes=hidden_sizes,
+                                        log_std_init=log_std_init)
         self.critic = core.Critic(hidden_sizes=hidden_sizes)
         # SCPO's max-cost critic has a softplus head (scpo_core.py:158-165)
         self.vc_critic = core.Critic(
@@ -74,11 +75,13 @@ class RecurrentNetworks(Networks):
     recurrent = True
 
     def __init__(self, obs_dim: int, act_dim: int, hidden_sizes=(64,),
-                 lstm_size: int = 64, vc_softplus: bool = False):
+                 lstm_size: int = 64, vc_softplus: bool = False,
+                 log_std_init: float = -0.5):
         self.obs_dim, self.act_dim = obs_dim, act_dim
         self.lstm_size = lstm_size
         self.actor = core.RecurrentGaussianActor(
-            act_dim=act_dim, hidden_sizes=hidden_sizes, lstm_size=lstm_size
+            act_dim=act_dim, hidden_sizes=hidden_sizes, lstm_size=lstm_size,
+            log_std_init=log_std_init,
         )
         self.critic = core.RecurrentCritic(
             hidden_sizes=hidden_sizes, lstm_size=lstm_size

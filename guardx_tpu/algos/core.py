@@ -42,12 +42,17 @@ class GaussianActor(nn.Module):
     act_dim: int
     hidden_sizes: Sequence[int] = (64, 64)
     activation: str = "tanh"
+    # reference GUARD trainers init at -0.5 (cpo_core.py:118); rl_games AMP
+    # configs use -2.9 (HumanoidAMPPPO.yaml sigma_init) -- exposed as
+    # --log_std_init
+    log_std_init: float = -0.5
 
     @nn.compact
     def __call__(self, obs):
         mu = MLP((*self.hidden_sizes, self.act_dim), self.activation)(obs)
+        init = self.log_std_init
         log_std = self.param(
-            "log_std", lambda k: -0.5 * jnp.ones(self.act_dim, jnp.float32)
+            "log_std", lambda k: init * jnp.ones(self.act_dim, jnp.float32)
         )
         return mu, jnp.broadcast_to(log_std, mu.shape)
 
@@ -118,6 +123,7 @@ class RecurrentGaussianActor(nn.Module):
     hidden_sizes: Sequence[int] = (64,)
     lstm_size: int = 64
     activation: str = "tanh"
+    log_std_init: float = -0.5
 
     @nn.compact
     def __call__(self, obs, carry):
@@ -127,8 +133,9 @@ class RecurrentGaussianActor(nn.Module):
             x = act(nn.Dense(h)(x))
         carry, y = nn.OptimizedLSTMCell(self.lstm_size)(carry, x)
         mu = nn.Dense(self.act_dim)(y)
+        init = self.log_std_init
         log_std = self.param(
-            "log_std", lambda k: -0.5 * jnp.ones(self.act_dim, jnp.float32)
+            "log_std", lambda k: init * jnp.ones(self.act_dim, jnp.float32)
         )
         return (mu, jnp.broadcast_to(log_std, mu.shape)), carry
 

@@ -47,7 +47,8 @@ class Trainer:
 
     def __init__(self, env: Engine, algo: Algorithm, seed: int = 0,
                  hidden_sizes=(64, 64), epochs: int = 100, mesh=None,
-                 recurrent: bool = False, lstm_size: int = 64):
+                 recurrent: bool = False, lstm_size: int = 64,
+                 log_std_init: float = -0.5):
         self.env = env
         self.algo = algo
         self.epochs = epochs
@@ -67,11 +68,12 @@ class Trainer:
 
             self.nets = RecurrentNetworks(
                 obs_dim, act_dim, hidden_sizes, lstm_size=lstm_size,
-                vc_softplus=algo.vc_softplus,
+                vc_softplus=algo.vc_softplus, log_std_init=log_std_init,
             )
         else:
             self.nets = Networks(
-                obs_dim, act_dim, hidden_sizes, vc_softplus=algo.vc_softplus
+                obs_dim, act_dim, hidden_sizes, vc_softplus=algo.vc_softplus,
+                log_std_init=log_std_init,
             )
 
         rng = jax.random.PRNGKey(seed)

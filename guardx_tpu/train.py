@@ -65,6 +65,14 @@ def get_parser() -> argparse.ArgumentParser:
                              'rl_games LSTM workloads)')
     parser.add_argument('--lstm', type=int, default=64,
                         help='LSTM hidden size for --recurrent')
+    parser.add_argument('--algo_hp', type=str, default=None,
+                        help='extra algorithm hyperparameters as '
+                             'key=value[,key=value...] (numeric), e.g. '
+                             '--algo_hp task_reward_w=0,disc_reward_w=1')
+    parser.add_argument('--log_std_init', type=float, default=-0.5,
+                        help='initial policy log-std (reference GUARD '
+                             'trainers: -0.5, cpo_core.py:118; rl_games '
+                             'AMP configs: -2.9, HumanoidAMPPPO.yaml)')
     parser.add_argument('--resume', action='store_true',
                         help='resume from the checkpoint in the log dir')
     parser.add_argument('--mesh', action='store_true',
@@ -114,6 +122,10 @@ def run(args) -> dict:
         target_cost=args.target_cost, target_kl=args.target_kl,
         cost_reduction=args.cost_reduction, gamma=args.gamma, lam=args.lam,
     )
+    if getattr(args, 'algo_hp', None):
+        for kv in args.algo_hp.split(','):
+            k, v = kv.split('=')
+            algo_kw[k.strip()] = float(v)
     if args.algo == 'amp':
         import numpy as _np
 
@@ -177,6 +189,7 @@ def run(args) -> dict:
         env, algo, seed=args.seed, hidden_sizes=hidden,
         epochs=args.epochs, mesh=mesh,
         recurrent=recurrent, lstm_size=int(getattr(args, 'lstm', 64)),
+        log_std_init=float(getattr(args, 'log_std_init', -0.5)),
     )
     logger.setup_model_saver(trainer.state.algo)
 
