@@ -147,6 +147,12 @@ class SafetyLayer(TRPO):
         hp.setdefault('train_ccritic_iters', 80)
         hp.setdefault('delta', 0.0)
         hp.setdefault('max_action', 1.0)
+        # the reference gates the correction behind the SAME 1/3-of-epochs
+        # warmup as USL (safelayer.py:517-520) — the g-model identifies on
+        # uncorrected policy data first. Running it from epoch 0 (r3
+        # behavior) corrects along an untrained g and never suppresses
+        # cost (r4 reference side-by-side, LEARNING.md).
+        hp.setdefault('warmup_ratio', 1.0 / 3.0)
         super().__init__(**hp)
         self.needs_cost_critic = False
         # g-network: obs -> act_dim coefficients of the linear cost model
@@ -177,14 +183,22 @@ class SafetyLayer(TRPO):
         mult = jax.nn.relu(numer / denom)
         a_new = a - mult[:, None] * g
         a_new = jnp.clip(a_new, -self.hp['max_action'], self.hp['max_action'])
-        a_safe = jnp.where((pred > self.hp['delta'])[:, None], a_new, a)
-        return a_safe, {}
+        a_new = jnp.where((pred > self.hp['delta'])[:, None], a_new, a)
+        use = epoch_frac > self.hp['warmup_ratio']
+        a_safe = jnp.where(use, a_new, a)
+        corr = jnp.linalg.norm(a_safe - a, axis=-1)
+        return a_safe, {'corr_mag': corr}
 
     def process_cost(self, cost, carry, done):
         new_carry = {'prev_c': jnp.where(done > 0, 0.0, cost)}
         return cost, new_carry, {'prev_cost': carry['prev_c']}
 
     # ---- update ----------------------------------------------------------
+    def update(self, nets, s, data, aux, opts):
+        s, metrics = super().update(nets, s, data, aux, opts)
+        metrics['CorrectionMag'] = wmean(data['corr_mag'], data['valid'])
+        return s, metrics
+
     def post_accept(self, nets, s, data, aux, c, accepted, opts):
         # fit the linear cost model: (g(s)^T a_safe + prev_cost - cost)^2
         # with zero-target downsampling (safelayer.py:384-400)
