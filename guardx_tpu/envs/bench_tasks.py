@@ -47,6 +47,16 @@ on TPU with no external dependency:
     AllegroHandDextremeADR — AllegroHand reorientation under automatic
                     domain randomization (tasks/dextreme/; envs/randomize)
 
+Beyond the 16 registry names, two vendored IsaacGymEnvs tasks:
+
+    HumanoidAMP   — the canonical AMP environment: 28-dof humanoid, PD
+                    position control, mocap reference-state init, 105-dim
+                    AMP feature observation (tasks/humanoid_amp.py;
+                    envs/humanoid_amp.py + utils/poselib.py)
+    FrankaCubeStack — 7-dof arm + 2-finger gripper stacks a 5 cm cube on
+                    a 7 cm cube through box-box pair contacts
+                    (tasks/franka_cube_stack.py)
+
 Every IsaacGym registry name now runs natively on TPU; the external-
 binary adapter (guardx_tpu.envs.wrappers, GUARDX_ISAAC_BINARY=1) remains
 available for GPU hosts with a real Isaac install.
@@ -96,7 +106,7 @@ class _TaskSpec:
     def __init__(self, xml, reset_noise=0.05, z_lo=None, z_hi=None,
                  forward_scale=1.0, alive_bonus=0.5, energy_cost=0.005,
                  kind='locomotion', terrain=None, substeps=None, dr=False,
-                 target_volume=None):
+                 target_volume=None, solref=None):
         self.xml = xml
         self.reset_noise = reset_noise
         self.z_lo, self.z_hi = z_lo, z_hi
@@ -109,6 +119,11 @@ class _TaskSpec:
         self.dr = dr
         # kuka target volume (lo, hi) corners; None = single-arm default
         self.target_volume = target_volume
+        # contact solref override (timeconst, dampratio); None = default.
+        # Grasping tasks need stiffer contacts than locomotion: at the
+        # default 0.02 s timeconst a 10 N pinch interpenetrates a light
+        # cube by centimeters, flipping box-face normals and ejecting it
+        self.solref = solref
 
 
 TASKS = {
@@ -164,6 +179,15 @@ TASKS = {
     # 0.0166 / controlFrequencyInv 2). See envs/humanoid_amp.py.
     'HumanoidAMP': _TaskSpec('amp_humanoid.xml', kind='humanoid_amp',
                              substeps=1),
+    # FrankaCubeStack: 7-dof fixed arm + 2-finger gripper stacks a 5 cm
+    # cube onto a 7 cm cube (vendored IsaacGymEnvs
+    # tasks/franka_cube_stack.py; reward structure
+    # compute_franka_reward:698-747, scales cfg/task/FrankaCubeStack.yaml:
+    # dist 0.1 / lift 1.5 / align 2.0 / stack 16.0). Grasp + stack run
+    # through box-box corner pair contacts — the hardest contact workload
+    # in the suite.
+    'FrankaCubeStack': _TaskSpec('cube_stack.xml', reset_noise=0.04,
+                                 kind='cube_stack', substeps=4),
 }
 # the OpenAI_FF / OpenAI_LSTM variants are the same env trained with a
 # feedforward / LSTM policy (reference rl_games configs,
@@ -199,8 +223,12 @@ class NativeBenchEngine:
         from guardx_tpu.envs.engine import Engine
 
         substeps = spec.substeps or Engine.ROBOT_SUBSTEPS.get(spec.xml, 4)
+        extra_kw = {}
+        if spec.solref is not None:
+            extra_kw['contact_solref'] = spec.solref
         self.model, self.meta = physics.load_model(
-            self.mj_model, substeps=substeps, terrain=spec.terrain
+            self.mj_model, substeps=substeps, terrain=spec.terrain,
+            **extra_kw,
         )
         self.body_robot = self.meta['body_name2id']['robot']
         self.dt = self.model.timestep
@@ -291,6 +319,24 @@ class NativeBenchEngine:
             self._motion_amp_obs = np.asarray(jax.jit(jax.vmap(_frame_obs))(
                 self._motion_qpos, self._motion_qvel
             ))
+        if spec.kind == 'cube_stack':
+            self._cubeA_adr = self.meta['jnt_name2qposadr']['cubeA']
+            self._cubeB_adr = self.meta['jnt_name2qposadr']['cubeB']
+            for attr, gname in (('_ee', 'end_effector'),
+                                ('_pad_l', 'pad_l'), ('_pad_r', 'pad_r')):
+                gid = self.meta['geom_name2id'][gname]
+                setattr(self, attr, (
+                    int(self.mj_model.geom_bodyid[gid]),
+                    jnp.asarray(self.mj_model.geom_pos[gid], jnp.float32),
+                ))
+            # half sizes (reference full sizes 0.050 / 0.070,
+            # franka_cube_stack.py:223-224)
+            self._szA, self._szB = 0.025, 0.035
+            # crouched ready pose over the workspace
+            qinit = np.array(self.mj_model.qpos0, dtype=np.float32)
+            for jname, v in (('fj2', 0.8), ('fj4', 1.7), ('fj6', 0.7)):
+                qinit[self.meta['jnt_name2qposadr'][jname]] = v
+            self._stack_qinit = jnp.asarray(qinit)
         if spec.kind == 'cabinet':
             self._drawer_adr = self.meta['jnt_name2qposadr']['drawer_slide']
             # (body id, body-frame offset) pairs, resolved on the host
@@ -367,6 +413,10 @@ class NativeBenchEngine:
             # finger qpos/qvel (30), cube quat (4), cube angvel (3),
             # cube pos (3), target quat (4)
             return 44
+        if self.spec.kind == 'cube_stack':
+            # arm+gripper q/qd (9+9), cubeA pose (7) + linvel (3),
+            # cubeA -> stack-target (3), ee -> cubeA (3), pads -> cubeA (6)
+            return 9 + 9 + 7 + 3 + 3 + 3 + 6
         if self.spec.kind == 'kuka':
             # per-arm qpos/qvel (2 x 15 dofs each), cube pose (7), cube
             # linvel (3), target-cube delta (3), fingertip-to-cube vectors
@@ -452,6 +502,20 @@ class NativeBenchEngine:
             return jnp.concatenate([
                 qpos[:15], qvel[:15], cube_quat, cube_w, cube_pos,
                 state.target,
+            ])
+        if self.spec.kind == 'cube_stack':
+            a, b = self._cubeA_adr, self._cubeB_adr
+            cubeA = jax.lax.dynamic_slice(qpos, (a,), (7,))
+            cubeA_v = jax.lax.dynamic_slice(qvel, (a,), (3,))
+            cubeB_p = jax.lax.dynamic_slice(qpos, (b,), (3,))
+            target = cubeB_p + jnp.array([0.0, 0.0, self._szA + self._szB])
+            ee = self._geom_world(state.data, self._ee)
+            pl = self._geom_world(state.data, self._pad_l)
+            pr = self._geom_world(state.data, self._pad_r)
+            return jnp.concatenate([
+                qpos[:9], qvel[:9], cubeA, cubeA_v,
+                target - cubeA[:3], cubeA[:3] - ee,
+                cubeA[:3] - pl, cubeA[:3] - pr,
             ])
         if self.spec.kind == 'kuka':
             a = self._cube_adr
@@ -582,6 +646,41 @@ class NativeBenchEngine:
             reward = jnp.where(dropped, -5.0, reward)
             done = jnp.logical_or(success, dropped)
             return reward, done.astype(jnp.float32)
+        if spec.kind == 'cube_stack':
+            # compute_franka_reward (franka_cube_stack.py:698-747) with
+            # the ground plane as the table (table_height = 0)
+            a, b = self._cubeA_adr, self._cubeB_adr
+            cubeA = jax.lax.dynamic_slice(qpos, (a,), (3,))
+            cubeB = jax.lax.dynamic_slice(qpos, (b,), (3,))
+            ee = self._geom_world(state.data, self._ee)
+            pl = self._geom_world(state.data, self._pad_l)
+            pr = self._geom_world(state.data, self._pad_r)
+            d = jnp.linalg.norm(cubeA - ee)
+            d_lf = jnp.linalg.norm(cubeA - pl)
+            d_rf = jnp.linalg.norm(cubeA - pr)
+            dist_reward = 1.0 - jnp.tanh(10.0 * (d + d_lf + d_rf) / 3.0)
+            # lifted: center clears rest height by > 0.04 (reference:
+            # cubeA_height - cubeA_size > 0.04 with full size 0.05)
+            lifted = (cubeA[2] - 2 * self._szA > 0.04).astype(jnp.float32)
+            offset = jnp.array([0.0, 0.0, self._szA + self._szB])
+            d_ab = jnp.linalg.norm(cubeB + offset - cubeA)
+            align = (1.0 - jnp.tanh(10.0 * d_ab)) * lifted
+            dist_reward = jnp.maximum(dist_reward, align)
+            target_h = 2 * self._szB + self._szA
+            stack = jnp.logical_and(
+                jnp.linalg.norm(cubeA[:2] - cubeB[:2]) < 0.02,
+                jnp.logical_and(jnp.abs(cubeA[2] - target_h) < 0.02,
+                                d > 0.04),
+            ).astype(jnp.float32)
+            reward = jnp.where(
+                stack > 0.0, 16.0 * stack,
+                0.1 * dist_reward + 1.5 * lifted + 2.0 * align,
+            )
+            out = jnp.logical_or(
+                jnp.linalg.norm(cubeA[:2]) > 1.2, cubeA[2] < -0.05
+            ).astype(jnp.float32)
+            done = jnp.maximum(stack, out)
+            return reward, done
         if spec.kind == 'cabinet':
             ee = self._geom_world(state.data, self._ee)
             handle = self._geom_world(state.data, self._handle)
@@ -778,6 +877,28 @@ class NativeBenchEngine:
             k_v, (self.model.nv,), minval=-1.0, maxval=1.0
         )
         pad1 = lambda t: jnp.concatenate([t, jnp.zeros(1, jnp.float32)])
+        if self.spec.kind == 'cube_stack':
+            # ready pose + joint noise; cubes settle on the surface with
+            # xy scatter (franka_cube_stack.py _reset_init_cube_state)
+            k_a, k_b = jax.random.split(k_t)
+            qpos = self._stack_qinit + noise * jax.random.uniform(
+                k_q, (self.model.nq,), minval=-1.0, maxval=1.0
+            )
+            # fingers start fully OPEN (reset noise on a 4 cm-travel slide
+            # would otherwise start them closed)
+            for jname in ('finger_l', 'finger_r'):
+                adr_f = self.meta['jnt_name2qposadr'][jname]
+                qpos = qpos.at[adr_f].set(0.0)
+            for adr, key, sz in ((self._cubeA_adr, k_a, self._szA),
+                                 (self._cubeB_adr, k_b, self._szB)):
+                xy = self._stack_qinit[adr:adr + 2] + jax.random.uniform(
+                    key, (2,), minval=-0.05, maxval=0.05
+                )
+                cube0 = jnp.concatenate([
+                    xy, jnp.array([sz]), jnp.array([1.0, 0.0, 0.0, 0.0]),
+                ])
+                qpos = jax.lax.dynamic_update_slice(qpos, cube0, (adr,))
+            qvel = jnp.zeros(self.model.nv, jnp.float32)
         if self.spec.kind == 'kuka':
             # arm at the ready pose + joint noise; cube on the surface with
             # xy scatter (reset_object_pose, allegro_kuka_base.py)

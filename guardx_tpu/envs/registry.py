@@ -67,7 +67,7 @@ ISAAC_GYM_TASKS = [
 # under their IsaacGymEnvs names (the reference consumes them through
 # isaacgymenvs.make; HumanoidAMP is tasks/humanoid_amp.py — the canonical
 # AMP environment whose mocap clips utils/poselib.py ingests)
-VENDORED_ISAAC_TASKS = ['HumanoidAMP']
+VENDORED_ISAAC_TASKS = ['HumanoidAMP', 'FrankaCubeStack']
 
 
 def _guard_config(task: str, robot: str, constraint: str) -> dict:

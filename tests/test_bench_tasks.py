@@ -251,3 +251,100 @@ def test_kuka_two_arms_constructs_and_steps():
     # target volume spans both sides of the workspace
     tv_lo, tv_hi = env._kuka_volume()
     assert float(tv_lo[1]) < -0.4 and float(tv_hi[1]) > 0.4
+
+
+# ---------------------------------------------------------------------------
+# FrankaCubeStack (vendored IsaacGymEnvs tasks/franka_cube_stack.py)
+# ---------------------------------------------------------------------------
+
+def _stack_env(env_num=2, steps=100):
+    from guardx_tpu.envs.bench_tasks import NativeBenchEngine
+
+    return NativeBenchEngine('FrankaCubeStack', env_num=env_num,
+                             num_steps=steps, seed=0)
+
+
+def test_cube_stack_constructs_and_rests():
+    """Cubes rest on their faces without tunnelling; obs is the 40-dim
+    layout; random stepping stays finite."""
+    env = _stack_env()
+    obs = env.reset()
+    assert obs.shape == (2, 40)
+    rs = np.random.RandomState(0)
+    for t in range(20):
+        a = jnp.asarray(rs.uniform(-0.4, 0.4, (2, 9)), jnp.float32)
+        obs, rew, done, info = env.step(a)
+        env.reset_done()
+    assert bool(jnp.isfinite(obs).all())
+    a_adr, b_adr = env._cubeA_adr, env._cubeB_adr
+    az = np.asarray(env._state.data.qpos[:, a_adr + 2])
+    bz = np.asarray(env._state.data.qpos[:, b_adr + 2])
+    assert (az > 0.0).all() and (az < 0.6).all()
+    assert np.allclose(bz, 0.035, atol=0.02)  # big cube barely moves
+
+
+def test_cube_stack_grasp_holds():
+    """The contact solver sustains a two-pad pinch: cube placed between
+    the pads, fingers squeezed, arm frozen — the cube stays at the grip
+    (no slip-out, no solver ejection) for 60 control steps."""
+    env = _stack_env(env_num=1, steps=400)
+    # lock the arm at its pose: stiff joint springs at springref = the
+    # ready pose + heavy damping (damping alone lets gravity creep the
+    # wrist over and the cube slides off the pads) — isolates the pinch
+    dmp = np.asarray(env.model.dof_damping).copy()
+    dmp[:7] = 200.0
+    stiff = np.asarray(env.model.jnt_stiffness).copy()
+    sref = np.asarray(env.model.jnt_springref).copy()
+    qinit = np.asarray(env._stack_qinit)
+    for j in range(7):  # the 7 arm hinges are joints 0..6
+        stiff[j] = 3000.0
+        sref[j] = qinit[int(env.model.jnt_qposadr_t[j])]
+    env.model = env.model.replace(
+        dof_damping=jnp.asarray(dmp), jnt_stiffness=jnp.asarray(stiff),
+        jnt_springref=jnp.asarray(sref),
+    )
+    env.reset()
+    st = env._state
+    d0 = jax.tree_util.tree_map(lambda x: x[0], st.data)
+    pl = np.asarray(env._geom_world(d0, env._pad_l))
+    pr = np.asarray(env._geom_world(d0, env._pad_r))
+    mid = (pl + pr) / 2
+    a = env._cubeA_adr
+    qpos = st.data.qpos.at[0, a:a + 3].set(jnp.asarray(mid, jnp.float32))
+    qpos = qpos.at[0, a + 3:a + 7].set(jnp.asarray([1.0, 0, 0, 0]))
+    env._state = st.replace(data=st.data.replace(
+        qpos=qpos, qvel=st.data.qvel.at[0].set(0.0)
+    ))
+    act = np.zeros((1, 9), np.float32)
+    act[0, 7] = act[0, 8] = 0.4  # squeeze
+    for t in range(60):
+        env.step(jnp.asarray(act))
+        st = env._state
+        d0 = jax.tree_util.tree_map(lambda x: x[0], st.data)
+        grip = (np.asarray(env._geom_world(d0, env._pad_l))
+                + np.asarray(env._geom_world(d0, env._pad_r))) / 2
+        rel = np.linalg.norm(np.asarray(st.data.qpos[0, a:a + 3]) - grip)
+        # transient slip while the fingers close is allowed; leaving the
+        # grip region or flying upward is not
+        assert rel < 0.09, f"cube left the grip at step {t}: {rel}"
+        assert float(st.data.qpos[0, a + 2]) < 0.5, "solver ejection"
+    assert rel < 0.04, f"pinch did not hold: final offset {rel}"
+
+
+def test_cube_stack_success_detection():
+    """cubeA placed on top of cubeB with the gripper away => stack reward
+    16 and episode done (compute_franka_reward:728-745 semantics)."""
+    env = _stack_env(env_num=1, steps=400)
+    env.reset()
+    st = env._state
+    a, b = env._cubeA_adr, env._cubeB_adr
+    cubeB = np.asarray(st.data.qpos[0, b:b + 3])
+    stacked = cubeB + np.array([0.0, 0.0, 0.06])  # szA + szB
+    qpos = st.data.qpos.at[0, a:a + 3].set(jnp.asarray(stacked, jnp.float32))
+    qpos = qpos.at[0, a + 3:a + 7].set(jnp.asarray([1.0, 0, 0, 0]))
+    env._state = st.replace(data=st.data.replace(
+        qpos=qpos, qvel=st.data.qvel.at[0].set(0.0)
+    ))
+    obs, rew, done, info = env.step(jnp.zeros((1, 9), jnp.float32))
+    assert float(rew[0]) == 16.0
+    assert float(done[0]) == 1.0
