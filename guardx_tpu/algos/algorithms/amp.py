@@ -63,6 +63,10 @@ class AMP(PPO):
     """PPO + adversarial style reward (amp_continuous.py)."""
 
     name = "amp"
+    # under Trainer obs_norm the policy sees normalized observations, but
+    # the discriminator features must live in the same space as the RAW
+    # demo transitions — the runner stores batch['obs_raw'] for us
+    wants_raw_obs = True
 
     def __init__(self, demos=None, feature_idx=None, **hp):
         hp.setdefault('disc_lr', 1e-3)
@@ -130,7 +134,7 @@ class AMP(PPO):
     # -- runner hook: blend style reward before GAE ------------------------
 
     def shape_rewards(self, nets, s, batch):
-        obs = self._features(batch['obs'])  # (T, B, F)
+        obs = self._features(batch.get('obs_raw', batch['obs']))  # (T, B, F)
         nxt = jnp.concatenate([obs[1:], obs[-1:]], axis=0)
         pairs = jnp.stack([obs, nxt], axis=2)  # (T, B, 2, F)
         r_style = self.style_reward(s.extra['disc'], pairs)

@@ -40,6 +40,11 @@ class RunnerState:
     rollout_carry: Any  # algo-specific per-env dict (M, prev_c, ...)
     cum_cost: jnp.ndarray  # ()
     rng: jnp.ndarray
+    # running observation statistics (Trainer obs_norm=True; rl_games
+    # normalize_input — the GUARD reference never normalizes, so the
+    # default leaves this as inert zeros/ones). Updated once per epoch
+    # from the global batch; GSPMD reduces the means across the mesh.
+    obs_rms: Any = None
 
 
 class Trainer:
@@ -48,7 +53,8 @@ class Trainer:
     def __init__(self, env: Engine, algo: Algorithm, seed: int = 0,
                  hidden_sizes=(64, 64), epochs: int = 100, mesh=None,
                  recurrent: bool = False, lstm_size: int = 64,
-                 log_std_init: float = -0.5):
+                 log_std_init: float = -0.5, obs_norm: bool = False):
+        self.obs_norm = obs_norm
         self.env = env
         self.algo = algo
         self.epochs = epochs
@@ -122,6 +128,9 @@ class Trainer:
             algo=astate, env_state=env_state, obs=obs, pool=pool,
             rollout_carry=algo.rollout_carry_init(self.B),
             cum_cost=jnp.float32(0.0), rng=rng,
+            obs_rms={'mu': jnp.zeros(obs_dim, jnp.float32),
+                     'var': jnp.ones(obs_dim, jnp.float32),
+                     'count': jnp.float32(1e-4)},
         )
         if mesh is not None:
             # shard the env axis over the mesh; GSPMD partitions the whole
@@ -143,6 +152,13 @@ class Trainer:
         self.total_steps = 0
 
     # ------------------------------------------------------------------
+
+    @staticmethod
+    def _normalize_obs(rms, x):
+        """(x - mu)/sigma, clipped (rl_games RunningMeanStd semantics)."""
+        return jnp.clip(
+            (x - rms['mu']) / jnp.sqrt(rms['var'] + 1e-8), -10.0, 10.0
+        )
 
     def _policy_step(self, astate: AlgoState, obs_pi, rng, hid=None):
         if self.nets.recurrent:
@@ -173,7 +189,14 @@ class Trainer:
             # o[o.isinf()]=0) — the engine already forces done on bad obs;
             # this keeps the policy/critic inputs finite in that step
             obs = jnp.nan_to_num(obs, nan=0.0, posinf=0.0, neginf=0.0)
-            obs_pi = algo.obs_for_policy(obs, rcarry)
+            obs_pi_raw = algo.obs_for_policy(obs, rcarry)
+            # every network-facing consumer (policy, critics, Qc nets —
+            # their fits read the same data['obs']) sees the normalized
+            # observation; algorithms that match features against
+            # external raw data (AMP demos) set wants_raw_obs and read
+            # the raw copy
+            obs_pi = (self._normalize_obs(rs.obs_rms, obs_pi_raw)
+                      if self.obs_norm else obs_pi_raw)
             a, v, vc, logp, mu, log_std, hid = self._policy_step(
                 rs.algo, obs_pi, k_act, hid
             )
@@ -235,6 +258,8 @@ class Trainer:
                 logp=logp, mu=mu, logstd=log_std, cost=stored_cost,
                 raw_cost=cost, done=done,
             )
+            if self.obs_norm and getattr(algo, 'wants_raw_obs', False):
+                out['obs_raw'] = obs_pi_raw
             for k, vv in act_extra.items():
                 out[k] = vv
             for k, vv in cost_extra.items():
@@ -288,6 +313,27 @@ class Trainer:
             env_state=env_state, obs=obs, rollout_carry=rcarry, rng=rng,
             cum_cost=rs.cum_cost + acc['sum_cost_all'],
         )
+        if self.obs_norm:
+            # Welford merge of this epoch's (T*B) raw-obs statistics into
+            # the running mean/var. The batch stored NORMALIZED obs; its
+            # raw stats are recovered through the OLD rms (raw = n*sigma
+            # + mu), so no raw copy is materialized. jnp.mean over the
+            # sharded batch psums across the mesh under GSPMD.
+            rms = rs.obs_rms
+            sigma = jnp.sqrt(rms['var'] + 1e-8)
+            n_mean = jnp.mean(batch['obs'], axis=(0, 1))
+            n_var = jnp.var(batch['obs'], axis=(0, 1))
+            raw_mean = rms['mu'] + sigma * n_mean
+            raw_var = rms['var'] * n_var
+            nb = jnp.float32(self.T * self.B)
+            tot = rms['count'] + nb
+            delta = raw_mean - rms['mu']
+            new_mu = rms['mu'] + delta * nb / tot
+            new_var = (rms['var'] * rms['count'] + raw_var * nb
+                       + delta ** 2 * rms['count'] * nb / tot) / tot
+            rs = rs.replace(obs_rms={
+                'mu': new_mu, 'var': new_var, 'count': tot,
+            })
         return rs, batch, acc
 
     def _build_data(self, batch, acc):
@@ -343,7 +389,8 @@ class Trainer:
         # UAISSA's (d, ddot) dynamics targets)
         for k, v in batch.items():
             if k not in data and k not in ('rew', 'val', 'vc', 'done',
-                                           'raw_cost', 'mu', 'logstd'):
+                                           'raw_cost', 'mu', 'logstd',
+                                           'obs_raw'):
                 data[k] = flat(v)
 
         # epoch-end episode logging (cpo.py:641-645): envs that ran the full

@@ -69,6 +69,11 @@ def get_parser() -> argparse.ArgumentParser:
                         help='extra algorithm hyperparameters as '
                              'key=value[,key=value...] (numeric), e.g. '
                              '--algo_hp task_reward_w=0,disc_reward_w=1')
+    parser.add_argument('--obs_norm', action='store_true',
+                        help='running-mean-std observation normalization '
+                             'for all network inputs (rl_games '
+                             'normalize_input; the GUARD reference never '
+                             'normalizes, so default off)')
     parser.add_argument('--log_std_init', type=float, default=-0.5,
                         help='initial policy log-std (reference GUARD '
                              'trainers: -0.5, cpo_core.py:118; rl_games '
@@ -190,6 +195,7 @@ def run(args) -> dict:
         epochs=args.epochs, mesh=mesh,
         recurrent=recurrent, lstm_size=int(getattr(args, 'lstm', 64)),
         log_std_init=float(getattr(args, 'log_std_init', -0.5)),
+        obs_norm=bool(getattr(args, 'obs_norm', False)),
     )
     logger.setup_model_saver(trainer.state.algo)
 

@@ -8,7 +8,8 @@ import numpy as np
 import pytest
 
 from guardx_tpu.envs.registry import (
-    _REGISTRY, ISAAC_GYM_TASKS, configuration, configuration_list, create_env,
+    _REGISTRY, ISAAC_GYM_TASKS, VENDORED_ISAAC_TASKS, configuration,
+    configuration_list, create_env,
 )
 
 
@@ -24,9 +25,13 @@ class Args:
 def test_registry_names_match_reference():
     # 74 GUARD names (19 Goal + 18 each Push/Chase/Defense + nosensor)
     # + 16 IsaacGym names (reference safe_rl_env_config.py task grid)
-    guard = [k for k in _REGISTRY if k not in ISAAC_GYM_TASKS]
+    # + vendored IsaacGymEnvs names beyond the registry (HumanoidAMP,
+    #   FrankaCubeStack — consumed by the reference via isaacgymenvs.make)
+    guard = [k for k in _REGISTRY
+             if k not in ISAAC_GYM_TASKS and k not in VENDORED_ISAAC_TASKS]
     assert len(guard) == 74
-    assert len(_REGISTRY) == 90
+    assert len(_REGISTRY) == 90 + len(VENDORED_ISAAC_TASKS)
+    assert set(VENDORED_ISAAC_TASKS) == {'HumanoidAMP', 'FrankaCubeStack'}
     assert 'Goal_Doggo_8Hazards' in _REGISTRY
     assert 'Goal_Doggo_8Ghosts' not in _REGISTRY
     assert 'Push_Doggo_8Hazards' not in _REGISTRY

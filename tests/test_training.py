@@ -188,3 +188,53 @@ def test_continuous_reset_accounting_exact():
     np.testing.assert_allclose(float(m['EpLen']), 63.0 / 13.0, rtol=1e-6)
     np.testing.assert_allclose(float(m['EpCost']), 0.25 * 63.0 / 13.0,
                                rtol=1e-6)
+
+
+def test_obs_norm_runner():
+    """Trainer obs_norm: running obs statistics converge toward the batch
+    statistics, metrics stay finite, and the default-off path is
+    untouched (rl_games normalize_input counterpart)."""
+    import jax.numpy as jnp
+    from guardx_tpu.algos.algorithms import REGISTRY
+    from guardx_tpu.algos.runner import Trainer
+    from guardx_tpu.envs import Engine
+
+    cfg = {'env_num': 8, 'num_steps': 12, 'hazards_num': 8, '_seed': 0,
+           'gx_layout_pool': 2048}
+    tr = Trainer(Engine(cfg), REGISTRY['ppo'](target_cost=0.0,
+                                              target_kl=0.02),
+                 seed=0, epochs=2, obs_norm=True)
+    m0 = tr.run_epoch(0)
+    m1 = tr.run_epoch(1)  # runs with epoch-0 statistics active
+    for k in ('EpRet', 'KL', 'LossPi'):
+        assert np.isfinite(m1[k])
+    rms = tr.state.obs_rms
+    assert float(rms['count']) > 180  # 2 epochs x 8*12 samples merged
+    assert bool(jnp.isfinite(rms['mu']).all())
+    assert float(jnp.max(rms['var'])) > 1e-6
+    # normalized inputs: re-normalizing the current obs gives O(1) scale
+    n = tr._normalize_obs(rms, tr.state.obs)
+    assert float(jnp.abs(n).max()) <= 10.0
+
+
+def test_amp_obs_norm_features_stay_raw():
+    """Under obs_norm, AMP discriminator features come from the RAW
+    observation (matching raw demo transitions), while the policy input
+    is normalized."""
+    import jax.numpy as jnp
+    import numpy as _np
+    from guardx_tpu.algos.algorithms.amp import AMP
+    from guardx_tpu.algos.runner import Trainer
+    from guardx_tpu.envs import Engine
+
+    cfg = {'env_num': 4, 'num_steps': 8, 'hazards_num': 8, '_seed': 0,
+           'gx_layout_pool': 2048}
+    env = Engine(cfg)
+    demos = _np.random.RandomState(0).randn(
+        32, 2, env.obs_flat_size).astype('f4')
+    algo = AMP(demos=demos, target_cost=0.0, target_kl=0.02)
+    assert algo.wants_raw_obs
+    tr = Trainer(env, algo, seed=0, epochs=1, obs_norm=True)
+    m = tr.run_epoch(0)
+    assert np.isfinite(m['LossDisc'])
+    assert np.isfinite(m['StyleReward'])
