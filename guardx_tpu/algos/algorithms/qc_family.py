@@ -162,7 +162,8 @@ class SafetyLayer(TRPO):
         self._g_net = core.MLP((64, 64, nets.act_dim), activation="tanh")
         params = self._g_net.init(rng, jnp.zeros((1, nets.obs_dim)))
         self._g_opt = optax.adam(self._g_lr)
-        return {'g': params, 'g_opt': self._g_opt.init(params)}
+        return {'g': params, 'g_opt': self._g_opt.init(params),
+                'gc_loss': jnp.float32(0.0), 'gc_corr': jnp.float32(0.0)}
 
     def _pred_c(self, g_params, obs, act):
         g = self._g_net.apply(g_params, obs)
@@ -197,6 +198,8 @@ class SafetyLayer(TRPO):
     def update(self, nets, s, data, aux, opts):
         s, metrics = super().update(nets, s, data, aux, opts)
         metrics['CorrectionMag'] = wmean(data['corr_mag'], data['valid'])
+        metrics['LossGC'] = s.extra['gc_loss']
+        metrics['GCCorr'] = s.extra['gc_corr']
         return s, metrics
 
     def post_accept(self, nets, s, data, aux, c, accepted, opts):
@@ -220,4 +223,16 @@ class SafetyLayer(TRPO):
             0, int(self.hp['train_ccritic_iters']), body,
             (s.extra['g'], s.extra['g_opt']),
         )
-        return s.replace(extra={**s.extra, 'g': g, 'g_opt': g_opt})
+        # fit diagnostics: weighted MSE + correlation of predicted vs
+        # actual cost increments on this epoch's batch (is the linear
+        # model predictive at all?)
+        pred_inc = self._pred_c(g, obs, act_safe)
+        true_inc = cost - prev_cost
+        wm = w / jnp.maximum(jnp.sum(w), 1.0)
+        mp, mt = jnp.sum(wm * pred_inc), jnp.sum(wm * true_inc)
+        cov = jnp.sum(wm * (pred_inc - mp) * (true_inc - mt))
+        sp = jnp.sqrt(jnp.sum(wm * (pred_inc - mp) ** 2) + EPS)
+        st_ = jnp.sqrt(jnp.sum(wm * (true_inc - mt) ** 2) + EPS)
+        return s.replace(extra={**s.extra, 'g': g, 'g_opt': g_opt,
+                                'gc_loss': loss_fn(g),
+                                'gc_corr': cov / (sp * st_)})
