@@ -29,12 +29,34 @@ def _spd_factor(model: Model, Mh):
     (guardx_tpu.ops.tiny_chol) turns the batched solve into fused VPU
     elementwise code; XLA's blocked cho_factor wins beyond ~2 dozen dofs.
 
-    The cutover is empirical (measured B=2048): unrolled is faster up to
-    nv~21 (ant 11 / walker 13 / doggo 19 / shadow 21) and LOSES at nv=34
-    (amp_humanoid: 19.0 vs 13.8 ms) — and its O(nv^3) instruction count
-    dominates compile time (chol alone = 32k HLO lines at nv=34, ~80k of
-    the humanoid step's 137k)."""
-    if model.nv <= min(24, tiny_chol.MAX_UNROLL_N):
+    The cutover is empirical and platform-dependent (GUARDX_CHOL_UNROLL_MAX
+    overrides): on CPU the unrolled form wins up to nv~21 and loses at
+    nv=34; on TPU an xprof trace of the walker rollout showed the
+    unrolled solve lowering to per-row `slice_reduce` loop fusions
+    (tiny_chol.py:37) that consumed ~55% of the whole rollout — the
+    O(nv^3) scalar graph also dominates compile time (32k HLO lines at
+    nv=34). See PERF.md round 4."""
+    import os
+
+    import jax as _jax
+
+    mode = os.environ.get('GUARDX_CHOL', 'auto')
+    on_tpu = _jax.devices()[0].platform in ('tpu', 'axon')
+    if mode == 'auto':
+        # measured (PERF.md r4): on TPU the batch-on-lanes Pallas kernel
+        # composes at ~zero marginal cost where the XLA-unrolled solve
+        # costs +2.4 ms/substep in context; off-TPU the unrolled form
+        # wins up to nv~21 and blocked beyond ~24
+        mode = 'pallas' if on_tpu and model.nv <= tiny_chol.MAX_UNROLL_N \
+            else 'unrolled'
+    if mode == 'pallas':
+        from guardx_tpu.ops.pallas_chol import solve_spd_env
+
+        # 'factor' is the matrix itself; each solve re-factors in-kernel
+        # (the n^3/6 lane ops are noise next to one HBM round trip)
+        return Mh, solve_spd_env
+    cap = int(os.environ.get('GUARDX_CHOL_UNROLL_MAX', '24'))
+    if mode == 'unrolled' and model.nv <= min(cap, tiny_chol.MAX_UNROLL_N):
         return tiny_chol.chol_tiny(Mh), tiny_chol.chol_solve_tiny
     return cho_factor(Mh), cho_solve
 

@@ -58,3 +58,44 @@ def test_gae_pallas_matches_scan():
     adv, ret = gae_pallas(rew, val, done, 0.99, 0.95, interpret=True)
     np.testing.assert_allclose(np.asarray(adv), np.asarray(adv_ref), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ret), np.asarray(ret_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_chol_matches_unrolled():
+    """solve_spd_lanes (interpret mode on CPU) == tiny_chol on random SPD
+    batches, vector and matrix right-hand sides, including batch padding."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from guardx_tpu.ops import tiny_chol
+    from guardx_tpu.ops.pallas_chol import solve_spd_lanes
+
+    rng = np.random.RandomState(0)
+    for B, n, m in ((130, 7, 1), (64, 13, 5), (32, 19, 30)):
+        A = rng.randn(B, n, n)
+        A = (A @ A.transpose(0, 2, 1) + n * np.eye(n)).astype(np.float32)
+        A = jnp.asarray(A)
+        b = jnp.asarray(rng.randn(B, n).astype(np.float32))
+        bm = jnp.asarray(rng.randn(B, n, m).astype(np.float32))
+        ref_v = jax.vmap(tiny_chol.solve_spd_tiny)(A, b)
+        ref_m = jax.vmap(tiny_chol.solve_spd_tiny)(A, bm)
+        out_v = solve_spd_lanes(A, b, interpret=True)
+        out_m = solve_spd_lanes(A, bm, interpret=True)
+        np.testing.assert_allclose(out_v, ref_v, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(out_m, ref_m, rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_chol_custom_vmap_cpu_fallback():
+    """solve_spd_env unbatched falls back to the scalar unroll (the CPU
+    path the pipeline uses off-TPU)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from guardx_tpu.ops import tiny_chol
+    from guardx_tpu.ops.pallas_chol import solve_spd_env
+
+    rng = np.random.RandomState(1)
+    A = rng.randn(9, 9)
+    A = (A @ A.T + 9 * np.eye(9)).astype(np.float32)
+    b = rng.randn(9).astype(np.float32)
+    out = solve_spd_env(jnp.asarray(A), jnp.asarray(b))
+    ref = tiny_chol.solve_spd_tiny(jnp.asarray(A), jnp.asarray(b))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
