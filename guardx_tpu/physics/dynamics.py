@@ -56,13 +56,20 @@ def spatial_inertia(model: Model, xmat, xipos_rel, xquat):
 
     iquat_world = maths.quat_mul(xquat, model.body_iquat)
     Ri = maths.quat_to_mat(iquat_world)  # (nbody, 3, 3)
-    Ic = _einsum(
-        "bij,bj,bkj->bik", Ri, model.body_inertia, Ri
-    )  # (nbody, 3, 3)
+    # contract-3 products as broadcast-sum (VPU): batched (3,3)x(3,3)
+    # matmuls hit the MXU as thousands of 128x128-padded tiles (PERF.md
+    # r4 — the in-context cost of these tiny einsums dominated mass_bias)
+    tmp = Ri * model.body_inertia[:, None, :]
+    Ic = jnp.sum(
+        tmp[..., :, None, :] * Ri[..., None, :, :], axis=-1
+    )  # (nbody, 3, 3) = Ri diag(I) Ri^T
     m = model.body_mass[:, None, None]
     cx = _skew(xipos_rel)  # (nbody, 3, 3)
     cxT = jnp.swapaxes(cx, -1, -2)
-    top_left = Ic + m * _einsum("bij,bjk->bik", cx, cxT)
+    cxcxT = jnp.sum(
+        cx[..., :, None, :] * cx[..., None, :, :], axis=-1
+    )  # cx @ cx^T
+    top_left = Ic + m * cxcxT
     top_right = m * cx
     bot_left = m * cxT
     bot_right = m * jnp.broadcast_to(jnp.eye(3, dtype=xmat.dtype), cx.shape)
@@ -105,35 +112,47 @@ def mass_bias(model: Model, qvel, xmat, xipos, xquat, S, origin):
     # per-body 6 x nv Jacobian: J6[i, :, j] = anc[i, j] * S[j]
     J6 = anc[:, None, :] * S.T[None, :, :]  # (nbody, 6, nv)
     I6 = spatial_inertia(model, xmat, xipos_rel, xquat)
+    nbody, _, nv = J6.shape
 
-    # M = sum_i J6^T I6 J6 (+ armature on the diagonal)
-    IJ = _einsum("bkl,blj->bkj", I6, J6)  # (nbody, 6, nv)
-    M = _einsum("bki,bkj->ij", J6, IJ)
+    # Contraction shaping for the TPU (PERF.md r4): the 6-wide contractions
+    # run as broadcast-sums on the VPU (a batched (6,6)x(6,nv) einsum
+    # lowers to thousands of padded MXU tiles), and the big contractions
+    # flatten (nbody, 6) -> 6*nbody so ONE well-shaped matmul does the
+    # work (ant: the two-stage einsum form cost 2.9 ms at B=4000; this
+    # form 0.3 ms — identical math, reassociated).
+    IJ = jnp.sum(
+        I6[..., :, :, None] * J6[..., None, :, :], axis=-2
+    )  # (nbody, 6, nv)
+    Jf = J6.reshape(nbody * 6, nv)
+    IJf = IJ.reshape(nbody * 6, nv)
+    M = _einsum("ki,kj->ij", Jf, IJf)  # contract 6*nbody
     M = M + jnp.diag(model.dof_armature)
 
-    # body spatial velocities
-    v_body = _einsum("bkj,j->bk", J6, qvel)  # (nbody, 6)
+    # body spatial velocities (flattened matvec, contract nv)
+    v_body = _einsum("kj,j->k", Jf, qvel).reshape(nbody, 6)
 
     # velocity-product accelerations: a_vp[i] = sum_j anc[i,j] W[j]
     # W[j] = (v_frame(j) xm S[j]) * qvel[j], where v_frame(j) is the velocity
     # of the virtual frame after dof j (preceding dofs only — dof_anc_mask)
-    v_at_dof = _einsum(
-        "jk,kd->jd", model.dof_anc_mask, S * qvel[:, None]
+    Sq = S * qvel[:, None]
+    v_at_dof = jnp.sum(
+        model.dof_anc_mask[:, :, None] * Sq[None, :, :], axis=1
     )  # (nv, 6)
     W = _cross_motion(v_at_dof, S) * (qvel * model.dof_vp_mask)[:, None]  # (nv, 6)
-    a_vp = _einsum("bv,vk->bk", anc, W)  # (nbody, 6)
+    a_vp = jnp.sum(anc[:, :, None] * W[None, :, :], axis=1)  # (nbody, 6)
 
-    # spatial momentum and gyroscopic term
-    h_body = _einsum("bkl,bl->bk", I6, v_body)  # (nbody, 6)
+    # spatial momentum and gyroscopic term (contract-6 as VPU sums)
+    h_body = jnp.sum(I6 * v_body[:, None, :], axis=-1)  # (nbody, 6)
     f_body = (
-        _einsum("bkl,bl->bk", I6, a_vp) + _cross_force(v_body, h_body)
+        jnp.sum(I6 * a_vp[:, None, :], axis=-1)
+        + _cross_force(v_body, h_body)
     )
     # gravity spatial force about the tree-root origin: (c_rel x m g, m g)
     mg = model.body_mass[:, None] * model.gravity[None, :]  # (nbody, 3)
     f_grav = jnp.concatenate([jnp.cross(xipos_rel, mg), mg], axis=-1)
     f_total = f_body - f_grav
 
-    bias = _einsum("bki,bk->i", J6, f_total)  # (nv,)
+    bias = _einsum("kv,k->v", Jf, f_total.reshape(nbody * 6))  # (nv,)
     return M, bias
 
 
