@@ -248,6 +248,17 @@ class Trainer:
             )
             if algo.one_episode:
                 acc['done_before'] = jnp.maximum(acc['done_before'], done)
+            if self.obs_norm:
+                # raw (pre-clip) obs moments for the rms update — the
+                # stored batch['obs'] is clipped to [-10, 10], which would
+                # bias a recovered mean/var for any dim straying beyond
+                # 10 sigma (rl_games RunningMeanStd updates from raw)
+                acc['raw_obs_sum'] = (
+                    acc['raw_obs_sum'] + jnp.sum(obs_pi_raw, axis=0)
+                )
+                acc['raw_obs_sumsq'] = (
+                    acc['raw_obs_sumsq'] + jnp.sum(obs_pi_raw ** 2, axis=0)
+                )
             if 'ep_max_cost' in cost_extra:
                 acc['sum_ep_max_cost'] = acc['sum_ep_max_cost'] + jnp.sum(
                     d * cost_extra['ep_max_cost']
@@ -300,6 +311,9 @@ class Trainer:
             acc0['sum_ep_max_cost'] = jnp.float32(0.0)
         if self.algo.one_episode:
             acc0['done_before'] = jnp.zeros(B)
+        if self.obs_norm:
+            acc0['raw_obs_sum'] = jnp.zeros_like(rs.obs_rms['mu'])
+            acc0['raw_obs_sumsq'] = jnp.zeros_like(rs.obs_rms['mu'])
 
         # LSTM carries start at zero: every epoch begins from a full env
         # reset (runner epoch-end), so no hidden state crosses epochs
@@ -315,17 +329,18 @@ class Trainer:
         )
         if self.obs_norm:
             # Welford merge of this epoch's (T*B) raw-obs statistics into
-            # the running mean/var. The batch stored NORMALIZED obs; its
-            # raw stats are recovered through the OLD rms (raw = n*sigma
-            # + mu), so no raw copy is materialized. jnp.mean over the
-            # sharded batch psums across the mesh under GSPMD.
+            # the running mean/var. The sum/sum-of-squares were accumulated
+            # from the PRE-clip obs in the scan carry (rl_games
+            # RunningMeanStd updates from raw values; recovering them from
+            # the clipped batch['obs'] biases any dim beyond 10 sigma and
+            # can pin a large-mean dim at the clip forever). The sums over
+            # the sharded env axis psum across the mesh under GSPMD.
             rms = rs.obs_rms
-            sigma = jnp.sqrt(rms['var'] + 1e-8)
-            n_mean = jnp.mean(batch['obs'], axis=(0, 1))
-            n_var = jnp.var(batch['obs'], axis=(0, 1))
-            raw_mean = rms['mu'] + sigma * n_mean
-            raw_var = rms['var'] * n_var
             nb = jnp.float32(self.T * self.B)
+            raw_mean = acc['raw_obs_sum'] / nb
+            raw_var = jnp.maximum(
+                acc['raw_obs_sumsq'] / nb - raw_mean ** 2, 0.0
+            )
             tot = rms['count'] + nb
             delta = raw_mean - rms['mu']
             new_mu = rms['mu'] + delta * nb / tot

@@ -75,7 +75,9 @@ def pd_tables(jnt_range_per_dof: np.ndarray):
 
     offset/scale follow humanoid_amp_base.py _build_pd_action_offset_scale:
     3-dof clusters get the full +-pi range; 1-dof joints get the limit
-    midpoint +- 0.7 * halfwidth."""
+    midpoint +- 0.7 * FULL width (humanoid_amp_base.py:283
+    `curr_scale = 0.7 * (curr_high - curr_low)` — a deliberate extension
+    beyond the joint limits so motors keep authority near the stops)."""
     kp = np.zeros(NUM_DOF)
     kd = np.zeros(NUM_DOF)
     lo = jnt_range_per_dof[:, 0].copy()
@@ -89,7 +91,7 @@ def pd_tables(jnt_range_per_dof: np.ndarray):
             hi[off:off + 3] = np.pi
         else:
             mid = 0.5 * (hi[off] + lo[off])
-            half = 0.7 * 0.5 * (hi[off] - lo[off])
+            half = 0.7 * (hi[off] - lo[off])
             lo[off], hi[off] = mid - half, mid + half
         off += n
     offset = 0.5 * (hi + lo)

@@ -129,8 +129,25 @@ def run(args) -> dict:
     )
     if getattr(args, 'algo_hp', None):
         for kv in args.algo_hp.split(','):
-            k, v = kv.split('=')
-            algo_kw[k.strip()] = float(v)
+            if '=' not in kv:
+                raise SystemExit(
+                    f"--algo_hp: malformed entry {kv!r} "
+                    f"(expected key=value[,key=value...])"
+                )
+            k, v = kv.split('=', 1)
+            k, v = k.strip(), v.strip()
+            # int -> float -> bool -> string coercion so integer hps stay
+            # ints and non-numeric values (names, tuples) pass through
+            try:
+                algo_kw[k] = int(v)
+            except ValueError:
+                try:
+                    algo_kw[k] = float(v)
+                except ValueError:
+                    if v.lower() in ('true', 'false'):
+                        algo_kw[k] = v.lower() == 'true'
+                    else:
+                        algo_kw[k] = v
     if args.algo == 'amp':
         import numpy as _np
 

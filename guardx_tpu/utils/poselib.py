@@ -42,7 +42,12 @@ import os
 
 import numpy as np
 
-REF_MOTION_DIR = "/root/reference/IsaacGymEnvs/assets/amp/motions"
+# Default motion directory: overridable via GUARDX_AMP_MOTION_DIR for
+# machines where the reference checkout lives elsewhere.
+REF_MOTION_DIR = os.environ.get(
+    "GUARDX_AMP_MOTION_DIR",
+    "/root/reference/IsaacGymEnvs/assets/amp/motions",
+)
 CLIP_NAMES = ("walk", "run", "dance", "backflip", "cartwheel", "hop")
 
 # dof layout of the amp_humanoid skeleton: (skeleton node index, n_dofs)
@@ -133,6 +138,13 @@ def _arr(node):
 
 def load_skeleton_motion(path: str) -> dict:
     """Parse one poselib SkeletonMotion .npy into plain arrays (WXYZ)."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"AMP motion clip not found: {path}. Point "
+            f"GUARDX_AMP_MOTION_DIR at a directory holding the "
+            f"amp_humanoid_*.npy poselib clips (current dir: "
+            f"{REF_MOTION_DIR})."
+        )
     raw = np.load(path, allow_pickle=True).item()
     if raw.get("__name__") != "SkeletonMotion":
         raise ValueError(f"{path}: not a poselib SkeletonMotion file")
