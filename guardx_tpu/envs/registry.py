@@ -207,6 +207,11 @@ def create_env(args):
     config['device_id'] = 0
     if getattr(args, 'pool_refresh', None):
         config['gx_pool_refresh_every'] = int(args.pool_refresh)
+    if getattr(args, 'layout_pool', None):
+        config['gx_layout_pool'] = int(args.layout_pool)
+        # explicitly-sized pools keep the reference's refusal to run with
+        # fewer valid layouts than envs (engine.py:444)
+        config['gx_strict_pool'] = True
     if config.get('IsaacGym'):
         import os
 

@@ -203,18 +203,8 @@ def _planar3_step(model: Model, data: Data) -> Data:
     )
 
 
-def step(model: Model, data: Data) -> Data:
-    """Advance one control timestep (model.substeps internal substeps).
-
-    Mirrors mjx.step as used at reference engine.py:668-670 — including
-    MuJoCo's evaluation order: FK runs on the PRE-integration state, so
-    the returned xpos/xmat lag qpos by one substep. The reference's
-    obs/reward/cost consume exactly that lagged frame (verified
-    element-for-element by tests/test_golden_parity.py), and skipping the
-    post-integration FK refresh saves one FK per control step.
-    """
-    if model.fastpath_planar3:
-        return _planar3_step(model, data)
+def _step_general(model: Model, data: Data) -> Data:
+    """The XLA scan-of-substeps path (vmapped by the env layer)."""
     h = model.timestep / model.substeps
 
     def substep(carry, _):
@@ -239,3 +229,46 @@ def step(model: Model, data: Data) -> Data:
         xmat=xmat,
         xipos=xipos,
     )
+
+
+def step(model: Model, data: Data) -> Data:
+    """Advance one control timestep (model.substeps internal substeps).
+
+    Mirrors mjx.step as used at reference engine.py:668-670 — including
+    MuJoCo's evaluation order: FK runs on the PRE-integration state, so
+    the returned xpos/xmat lag qpos by one substep. The reference's
+    obs/reward/cost consume exactly that lagged frame (verified
+    element-for-element by tests/test_golden_parity.py), and skipping the
+    post-integration FK refresh saves one FK per control step.
+
+    On TPU, eligible articulated models route through the lane-major
+    whole-substep Pallas kernel (physics/lane_step.py) under vmap —
+    measured 3-6.6x over the XLA composition at B=4000 (PERF.md r5);
+    unbatched calls and ineligible models take the XLA scan path.
+    """
+    if model.fastpath_planar3:
+        return _planar3_step(model, data)
+    from guardx_tpu.physics import lane_step
+
+    if lane_step.enabled(model):
+        def general_env(qpos, qvel, ctrl):
+            d = Data(
+                qpos=qpos, qvel=qvel, ctrl=ctrl,
+                qacc=jnp.zeros(model.nv, qpos.dtype),
+                xpos=jnp.zeros((model.nbody, 3), qpos.dtype),
+                xquat=jnp.zeros((model.nbody, 4), qpos.dtype),
+                xmat=jnp.zeros((model.nbody, 3, 3), qpos.dtype),
+                xipos=jnp.zeros((model.nbody, 3), qpos.dtype),
+            )
+            o = _step_general(model, d)
+            return o.qpos, o.qvel, o.qacc, o.xpos, o.xquat, o.xmat, o.xipos
+
+        fn = lane_step.step_env_arrays(model, general_env)
+        qpos, qvel, qacc, xpos, xquat, xmat, xipos = fn(
+            data.qpos, data.qvel, data.ctrl
+        )
+        return data.replace(
+            qpos=qpos, qvel=qvel, qacc=qacc,
+            xpos=xpos, xquat=xquat, xmat=xmat, xipos=xipos,
+        )
+    return _step_general(model, data)

@@ -44,6 +44,11 @@ def get_parser() -> argparse.ArgumentParser:
                         help='defaults to the algo name (reference behavior)')
     parser.add_argument('--model_save', action='store_true')
     parser.add_argument('--save_freq', type=int, default=10)
+    parser.add_argument('--layout_pool', type=int, default=None,
+                        help='layout-pool candidate count (default: auto '
+                             'from env_num; raise for tasks with many scene '
+                             'objects where rejection acceptance is low, '
+                             'e.g. Push/Defense)')
     parser.add_argument('--pool_refresh', type=int, default=None,
                         help='regenerate the layout pool every N epochs '
                              '(default 1 = reference behavior)')
