@@ -580,19 +580,19 @@ def _constraints(sn, qpos, qvel, qacc_free, xpos, xmat, S, origin, L, h):
 
     active = [jnp.where(rows_depth[r] > 0.0, 1.0, 0.0) for r in range(nr)]
 
-    # Delassus columns: Minv J^T for every row + contact tangents
+    # Delassus columns: Minv J^T for every row; the contact-tangent columns
+    # are reduced to their diagonals wt IMMEDIATELY (solve -> dot -> dead)
+    # so 2*nc*nv lane values never coexist (VMEM liveness: amp_humanoid
+    # has 34 contacts x 2 tangents x 34 dofs)
     MinvJ = [_chol_solve(L, rows_J[r], nv) for r in range(nr)]
-    MinvJt = [[_chol_solve(L, Jt[c][k], nv) for k in range(2)]
-              for c in range(nc)]
+    wt = [[dot(Jt[c][k], _chol_solve(L, Jt[c][k], nv)) for k in range(2)]
+          for c in range(nc)]
 
-    A = [[None] * nr for _ in range(nr)]
-    for r in range(nr):
-        for s_ in range(r + 1):
-            v = dot(rows_J[r], MinvJ[s_])
-            A[r][s_] = v
-            A[s_][r] = v
-    w = [A[r][r] for r in range(nr)]
-    wt = [[dot(Jt[c][k], MinvJt[c][k]) for k in range(2)] for c in range(nc)]
+    # Delassus matrix A = J M^-1 J^T is never materialized (nr^2 lane
+    # channels OOM'd VMEM at nr=62 on amp_humanoid): the Jacobi iteration
+    # computes A@lam as J @ (sum_r lam_r * MinvJ_r), which is also sparser
+    # (J rows are anc-masked / one-hot).
+    w = [dot(rows_J[r], MinvJ[r]) for r in range(nr)]
 
     imp = (1.0 - _IMP_D) / _IMP_D
     R = []
@@ -619,7 +619,12 @@ def _constraints(sn, qpos, qvel, qacc_free, xpos, xmat, S, origin, L, h):
     lam = [mul(_lmax(mul(rhs[r], inv_diag[r]), 0.0), active[r])
            for r in range(nr)]
     for _ in range(_JACOBI_ITERS):
-        resid = [sub(sub(rhs[r], dot(A[r], lam)), mul(R[r], lam[r]))
+        t = [0.0] * nv
+        for r in range(nr):
+            for d in range(nv):
+                t[d] = fma(t[d], MinvJ[r][d], lam[r])
+        Alam = [dot(rows_J[r], t) for r in range(nr)]
+        resid = [sub(sub(rhs[r], Alam[r]), mul(R[r], lam[r]))
                  for r in range(nr)]
         lam = [mul(_lmax(add(lam[r],
                              mul(_JACOBI_OMEGA, mul(resid[r], inv_diag[r]))),
@@ -854,6 +859,11 @@ def _build_kernel(model_key, interpret=False):
             in_specs=[spec(nq), spec(nv), spec(nu)],
             out_specs=(spec(nq), spec(nv), spec(nv), spec(nfk)),
             out_shape=out_shapes,
+            # large-nv models (amp_humanoid: nv=34, 62 constraint rows)
+            # need more scoped VMEM than the 16M default; v5e has headroom
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(qpos_p.T, qvel_p.T, ctrl_p.T)
 
