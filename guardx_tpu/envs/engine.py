@@ -673,9 +673,16 @@ class Engine:
         mid = state.replace(data=data, **hist)
 
         # task-object kinematics (ghosts/robbers/push-box are state fields,
-        # not physics bodies): capture pre-update distances for the delta
-        # rewards, then advance the objects
-        prev = self._task_prev(mid, data)
+        # not physics bodies): capture pre-step distances for the delta
+        # rewards, then advance the objects. prev MUST use the PRE-step
+        # robot position (state.data, like the goal task's robot_pos_last)
+        # — computing it from the post-step `data` cancels the robot's own
+        # motion out of the delta, zeroing push's approach shaping and
+        # chase's closing reward entirely (found when CPO learned
+        # hazard-avoidance but flat-zero task reward on Push_Point,
+        # logs/family_queue_r05.log; the reference's goal task keeps the
+        # robot delta for exactly this reason, engine.py:787-802)
+        prev = self._task_prev(state, state.data)
         mid = self._update_task_objects(mid, data)
 
         flat_obs, obs_dict = self.obs(mid, data)

@@ -322,3 +322,50 @@ def test_push_box_depenetration_invariant():
             axis=-1,
         )
         assert (d >= contact_r - 0.05).all()
+
+
+def test_push_approach_shaping_rewards_robot_motion():
+    """The robot's OWN approach toward a stationary box earns the
+    reward_box_dist * delta(robot->box) term (r5 fix: prev distances are
+    captured from the PRE-step robot position; computing them post-step
+    cancelled the robot's motion and zeroed push/chase shaping — CPO on
+    Push_Point learned hazard avoidance but flat-zero task reward)."""
+    env = _env('Push_Point_8Hazards', env_num=2, steps=64)
+    env.reset()
+    st = env._state
+    robot = np.asarray(st.data.xpos[:, env.body_robot, :2])
+    # stationary box far ahead (beyond contact range the whole test)
+    box = jnp.asarray(robot + np.array([2.5, 0.0]), jnp.float32)
+    env._state = st.replace(box_pos=box)
+    act = jnp.tile(jnp.asarray([[1.0, 0.0]], jnp.float32), (2, 1))
+    total = 0.0
+    for t in range(12):
+        obs, rew, done, info = env.step(act)
+        total += float(np.asarray(rew)[0])
+    box1 = np.asarray(env._state.box_pos)
+    assert np.linalg.norm(box1 - np.asarray(box), axis=-1).max() < 1e-6, \
+        "box should not have moved (no contact)"
+    assert total > 0.02, f"approach shaping should be positive, got {total}"
+
+
+def test_chase_closing_reward_without_catch():
+    """Closing on a static robber earns positive reward BEFORE any catch
+    bonus (the old post-step prev made the delta identically zero and the
+    catch bonus masked it in test_chase_reward_sign)."""
+    env = Engine({'env_num': 1, 'num_steps': 32, 'task': 'chase',
+                  'hazards_num': 0, 'robbers_num': 2,
+                  'observe_robbers': True, 'robbers_velocity': 0.0,
+                  '_seed': 0, 'gx_layout_pool': 4096})
+    env.reset()
+    st = env._state
+    robot = np.asarray(st.data.xpos[:, env.body_robot, :2])
+    robbers = np.stack([robot + np.array([4.0, 0.0]),
+                        robot + np.array([-5.0, 0.0])], axis=1)
+    env._state = st.replace(robbers_pos=jnp.asarray(robbers, jnp.float32))
+    act = jnp.asarray([[1.0, 0.0]], jnp.float32)
+    total = 0.0
+    for t in range(5):
+        obs, rew, done, info = env.step(act)
+        assert not float(done[0]), "must not catch in this test"
+        total += float(rew[0])
+    assert total > 0.01, f"closing reward should be positive, got {total}"
