@@ -91,6 +91,17 @@ def solve_spd_lanes(A, b, interpret: bool = False):
         b = b[..., None]
     B, n, _ = A.shape
     m = b.shape[-1]
+    # wide RHS (FrankaCubeStack's constraint solve: nv=21, m=297 Delassus
+    # columns) exceeds scoped VMEM even at the smallest lane block — chunk
+    # the independent columns; the in-kernel refactor per chunk costs
+    # n^3/6 lane ops, noise next to the m*n^2 substitutions
+    M_CHUNK = 96
+    if m > M_CHUNK:
+        parts = [
+            solve_spd_lanes(A, b[..., i:i + M_CHUNK], interpret=interpret)
+            for i in range(0, m, M_CHUNK)
+        ]
+        return jnp.concatenate(parts, axis=-1)
     blk = _pick_blk(n, m)
 
     pad = (-B) % blk
