@@ -286,7 +286,16 @@ def run(args) -> dict:
         if args.model_save and (
             (epoch % args.save_freq == 0) or (epoch == args.epochs - 1)
         ):
-            logger.model_saver_elements = trainer.state.algo
+            # obs_norm policies need the running obs statistics at replay
+            # time (the nets were trained on normalized inputs); save them
+            # next to the AlgoState (video.py handles both schemas)
+            if args.obs_norm:
+                logger.model_saver_elements = {
+                    'algo': trainer.state.algo,
+                    'obs_rms': trainer.state.obs_rms,
+                }
+            else:
+                logger.model_saver_elements = trainer.state.algo
             logger.save_state({'total_steps': trainer.total_steps})
             ckpt.save_checkpoint(
                 logger.output_dir, trainer.state, epoch + 1,

@@ -43,6 +43,11 @@ def replay(model_dir: str, task: str, max_ep_len: int = 200, episodes: int = 1,
     env = create_env(a)
 
     model = joblib.load(os.path.join(model_dir, 'jax_save', 'model.pkl'))
+    obs_rms = None
+    if isinstance(model, dict) and 'obs_rms' in model:
+        # obs_norm run: {'algo': AlgoState, 'obs_rms': {mu, var, count}}
+        obs_rms = model['obs_rms']
+        model = model['algo']
     pi_params = model.pi if hasattr(model, 'pi') else model['pi']
     recurrent = recurrent or 'LSTM' in task
     if recurrent:
@@ -69,6 +74,14 @@ def replay(model_dir: str, task: str, max_ep_len: int = 200, episodes: int = 1,
                 return mu
             return core.gaussian_sample(rng, mu, log_std)
 
+    def norm(o):
+        if obs_rms is None:
+            return o
+        return jnp.clip(
+            (o - obs_rms['mu']) / jnp.sqrt(obs_rms['var'] + 1e-8),
+            -10.0, 10.0,
+        )
+
     frames = []
     total_r, total_c = 0.0, 0.0
     rng = jax.random.PRNGKey(seed)
@@ -79,9 +92,9 @@ def replay(model_dir: str, task: str, max_ep_len: int = 200, episodes: int = 1,
         for t in range(max_ep_len):
             rng, sub = jax.random.split(rng)
             if recurrent:
-                action, h = act_r(pi_params, obs, sub, h)
+                action, h = act_r(pi_params, norm(obs), sub, h)
             else:
-                action = act(pi_params, obs, sub)
+                action = act(pi_params, norm(obs), sub)
             obs, rew, done, info = env.step(jnp.asarray(action))
             total_r += float(rew[0])
             total_c += float(info['cost'][0])
