@@ -263,6 +263,18 @@ def snapshot(model: Model):
         sn.con_radius = g(model.con_radius).astype(float)
         sn.con_friction = g(model.con_friction).astype(float)
         sn.con_margin = g(model.con_margin).astype(float)
+    sn.npair = int(model.npair)
+    if sn.npair:
+        sn.pair_body_a = g(model.pair_body_a).astype(int)
+        sn.pair_body_b = g(model.pair_body_b).astype(int)
+        sn.pair_pos_a = g(model.pair_pos_a).astype(float)
+        sn.pair_pos_b = g(model.pair_pos_b).astype(float)
+        sn.pair_radius_a = g(model.pair_radius_a).astype(float)
+        sn.pair_is_box = g(model.pair_is_box).astype(float)
+        sn.pair_size_b = g(model.pair_size_b).astype(float)
+        sn.pair_mat_b = g(model.pair_mat_b).astype(float)
+        sn.pair_friction = g(model.pair_friction).astype(float)
+        sn.pair_margin = g(model.pair_margin).astype(float)
     sn.solref_tc = float(g(model.con_solref)[0])
     if sn.nlim:
         sn.lim_dofadr = g(model.lim_dofadr).astype(int)
@@ -277,9 +289,14 @@ def enabled(model: Model) -> bool:
     mode = os.environ.get('GUARDX_MEGAKERNEL', 'auto')
     if mode == 'off':
         return False
-    if model.fastpath_planar3 or model.npair or model.terrain_amp != 0.0:
+    if model.fastpath_planar3 or model.terrain_amp != 0.0:
         return False
     if model.nv > 40:
+        return False
+    # constraint-row ceiling: the Jacobi state (MinvJ: nr x nv lane
+    # channels) must fit VMEM alongside the factor; franka (nr=105,
+    # nv=21) fits, but cap against pathological candidate lists
+    if model.ncontact + model.npair + model.nlimit > 128:
         return False
     if mode == 'on':
         return True
@@ -534,19 +551,46 @@ def _lmax(a, b):
     return jnp.maximum(a, b)
 
 
+def _matmat(A, B):
+    """(3,3) lane/const matrix product C = A @ B."""
+    return [[dot(A[i], [B[0][j], B[1][j], B[2][j]]) for j in range(3)]
+            for i in range(3)]
+
+
+def _matTvec(R, v):
+    """R^T v for a (3,3) lane/const matrix."""
+    return [dot([R[0][i], R[1][i], R[2][i]], v) for i in range(3)]
+
+
+def _point_jac_rows(sn, body, p_c, S, origin, nv):
+    """Per-dof world point Jacobian of a point p_c on `body` (3 comps)."""
+    out = {}
+    if body == 0:
+        return out
+    rel = vsub(p_c, origin[body])
+    for d in range(nv):
+        if sn.anc[body, d]:
+            out[d] = vadd(S[d][3:], cross(S[d][:3], rel))
+    return out
+
+
 def _constraints(sn, qpos, qvel, qacc_free, xpos, xmat, S, origin, L, h):
-    """collision.constraint_terms on lanes (flat floor + joint limits).
+    """collision.constraint_terms on lanes (flat floor + geom pairs +
+    joint limits; the box/sphere branch per pair resolves at trace time
+    since pair_is_box is static model data).
 
     Returns (qfrc list, Hc nv x nv list-of-lists)."""
     nv = sn.nv
-    nc, nl = sn.ncon, sn.nlim
+    nl = sn.nlim
+    nc = sn.ncon + sn.npair
     nr = nc + nl
 
     rows_J = []      # per row: dense length-nv list (zeros pruned by algebra)
     rows_depth = []
     Jt = []          # per contact: [tangent-x row, tangent-y row]
+    fric = []        # per contact: sliding friction coefficient (const)
 
-    for c in range(nc):
+    for c in range(sn.ncon):
         b = int(sn.con_bodyid[c])
         pw = vadd(xpos[b], matvec(xmat[b], _c3(sn.con_point[c])))
         depth = sub(float(sn.con_radius[c] + sn.con_margin[c]), pw[2])
@@ -562,6 +606,79 @@ def _constraints(sn, qpos, qvel, qacc_free, xpos, xmat, S, origin, L, h):
         rows_J.append(row_n)
         rows_depth.append(depth)
         Jt.append([row_tx, row_ty])
+        fric.append(float(sn.con_friction[c]))
+
+    for c in range(sn.npair):
+        ba, bb = int(sn.pair_body_a[c]), int(sn.pair_body_b[c])
+        pa_w = vadd(xpos[ba], matvec(xmat[ba], _c3(sn.pair_pos_a[c])))
+        pb_w = vadd(xpos[bb], matvec(xmat[bb], _c3(sn.pair_pos_b[c])))
+        ra = float(sn.pair_radius_a[c])
+        marg = float(sn.pair_margin[c])
+        if sn.pair_is_box[c] > 0.5:
+            # sphere-box: closest point on the box to the sphere center
+            # (collision.py:167-193)
+            Mb = sn.pair_mat_b[c]
+            Rb = _matmat(xmat[bb], [[float(Mb[i, j]) for j in range(3)]
+                                    for i in range(3)])
+            local = _matTvec(Rb, vsub(pa_w, pb_w))
+            sb = [float(x) for x in sn.pair_size_b[c]]
+            clamped = [jnp.clip(local[k], -sb[k], sb[k]) for k in range(3)]
+            outside = vsub(local, clamped)
+            d2_out = dot(outside, outside)
+            dist_out = lane_sqrt(add(d2_out, 1e-18))
+            gaps = [sub(sb[k], jnp.abs(local[k])) for k in range(3)]
+            min_g = jnp.minimum(jnp.minimum(gaps[0], gaps[1]), gaps[2])
+            # first-minimum one-hot over the 3 face gaps (argmin semantics)
+            is0 = jnp.where((gaps[0] <= gaps[1]) & (gaps[0] <= gaps[2]),
+                            1.0, 0.0)
+            is1 = jnp.where((gaps[1] <= gaps[2]), 1.0, 0.0) * (1.0 - is0)
+            is2 = (1.0 - is0) * (1.0 - is1)
+            n_in = [mul(m, jnp.sign(local[k]))
+                    for k, m in enumerate((is0, is1, is2))]
+            inside = jnp.where(dist_out < 1e-9, 1.0, 0.0)
+            dist_sb = add(mul(inside, neg(min_g)),
+                          mul(sub(1.0, inside), dist_out))
+            inv_out = 1.0 / _lmax(dist_out, 1e-9)
+            n_local = [add(mul(inside, n_in[k]),
+                           mul(sub(1.0, inside), mul(outside[k], inv_out)))
+                       for k in range(3)]
+            n_p = matvec(Rb, n_local)
+            depth = sub(ra + marg, dist_sb)
+            p_c = vadd(pb_w, matvec(Rb, clamped))
+        else:
+            # sphere-sphere (collision.py:158-164)
+            delta = vsub(pa_w, pb_w)
+            dist = lane_sqrt(add(dot(delta, delta), 1e-18))
+            inv = 1.0 / _lmax(dist, 1e-9)
+            n_p = [mul(x, inv) for x in delta]
+            rb = float(sn.pair_size_b[c, 0])
+            depth = sub(ra + rb + marg, dist)
+            p_c = vadd(pb_w, vscale(n_p, rb))
+
+        # contact frame (t1, t2, n) with the data-dependent up vector
+        # (collision.py:200-209)
+        flat = jnp.where(jnp.abs(n_p[2]) < 0.9, 1.0, 0.0)
+        up = [sub(1.0, flat), 0.0, flat]
+        t1 = cross(up, n_p)
+        inv_t1 = 1.0 / _lmax(lane_sqrt(add(dot(t1, t1), 1e-18)), 1e-9)
+        t1 = [mul(x, inv_t1) for x in t1]
+        t2 = cross(n_p, t1)
+
+        # relative point Jacobian (body a minus body b), frame-projected
+        ja = _point_jac_rows(sn, ba, p_c, S, origin, nv)
+        jb = _point_jac_rows(sn, bb, p_c, S, origin, nv)
+        row_n = [0.0] * nv
+        row_tx = [0.0] * nv
+        row_ty = [0.0] * nv
+        for d in set(ja) | set(jb):
+            rel3 = vsub(ja.get(d, [0.0] * 3), jb.get(d, [0.0] * 3))
+            row_tx[d] = dot(rel3, t1)
+            row_ty[d] = dot(rel3, t2)
+            row_n[d] = dot(rel3, n_p)
+        rows_J.append(row_n)
+        rows_depth.append(depth)
+        Jt.append([row_tx, row_ty])
+        fric.append(float(sn.pair_friction[c]))
 
     lim_sign = []
     for l in range(nl):
@@ -642,7 +759,7 @@ def _constraints(sn, qpos, qvel, qacc_free, xpos, xmat, S, origin, L, h):
             vt = [dot(Jt[c][k], qvel) for k in range(2)]
             vt_speed = lane_sqrt(add(add(mul(vt[0], vt[0]),
                                          mul(vt[1], vt[1])), 1e-12))
-            cone = mul(float(sn.con_friction[c]), fn)
+            cone = mul(fric[c], fn)
             cone_slope = cone / (vt_speed + 1e-3)
             for k in range(2):
                 slope = jnp.minimum(
@@ -708,7 +825,7 @@ def _substep(sn, qpos, qvel, ctrl_tau, h):
                mul(float(sn.dof_damping[d]), qvel[d]))
            for d in range(sn.nv)]
     qacc_free = _chol_solve(L, rhs, sn.nv)
-    if sn.ncon or sn.nlim:
+    if sn.ncon or sn.nlim or sn.npair:
         qfrc, Hc = _constraints(
             sn, qpos, qvel, qacc_free, xpos, xmat, S, origin, L, h)
         M2 = [[add(M[a][b], mul(h, Hc[a][b])) for b in range(sn.nv)]
@@ -756,13 +873,14 @@ def _fk_flat(fk_frame):
 
 def _pick_blk(sn) -> int:
     """Lane block sized to keep the peak live set in VMEM. The dominant
-    simultaneous residents are the Delassus matrix A (nr^2), the factor
-    and solve intermediates (~nv^2 * 4), the FK/inertia set (~nbody * 60)
-    and the constraint columns (~(nr + 2*ncon) * nv)."""
-    nr = sn.ncon + sn.nlim
+    simultaneous residents are the Jacobi solve columns (nr * nv), the
+    factor and solve intermediates (~nv^2 * 4), the FK/inertia set
+    (~nbody * 60) and the per-pair contact geometry."""
+    nc = sn.ncon + sn.npair
+    nr = nc + sn.nlim
     channels = (
         sn.nq + 2 * sn.nv + sn.nbody * 60 + 4 * sn.nv * sn.nv
-        + nr * nr + (nr + 2 * sn.ncon) * (sn.nv + 2) + 6 * sn.nv + 64
+        + (nr + 2 * nc) * (sn.nv + 2) + sn.npair * 24 + 6 * sn.nv + 64
     )
     env = os.environ.get('GUARDX_MEGAKERNEL_BLK')
     if env:

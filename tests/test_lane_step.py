@@ -22,6 +22,13 @@ from guardx_tpu.physics.model import Data
 
 
 def _make_model(robot):
+    if robot == 'franka':
+        # geom-pair contact coverage (sphere-sphere + sphere-box rows)
+        from guardx_tpu.envs.bench_tasks import NativeBenchEngine
+
+        return NativeBenchEngine(
+            'FrankaCubeStack', env_num=2, num_steps=8, seed=0
+        ).model
     from guardx_tpu.envs import Engine
 
     env = Engine({
@@ -59,7 +66,7 @@ def _general_step_env(m, qp, qv, ct):
     return o.qpos, o.qvel, o.qacc, o.xpos, o.xquat, o.xmat, o.xipos
 
 
-@pytest.mark.parametrize('robot', ['walker', 'ant'])
+@pytest.mark.parametrize('robot', ['walker', 'ant', 'franka'])
 def test_lane_substep_math_matches_general(robot):
     """One lane substep (eager, B lanes) == the general path at substeps=1."""
     m = _make_model(robot).replace(substeps=1)
@@ -90,7 +97,7 @@ def test_lane_substep_math_matches_general(robot):
     jax.devices()[0].platform not in ('tpu', 'axon'),
     reason='compiled Pallas kernel parity needs a TPU',
 )
-@pytest.mark.parametrize('robot', ['walker', 'ant', 'doggo'])
+@pytest.mark.parametrize('robot', ['walker', 'ant', 'doggo', 'franka'])
 def test_lane_kernel_tpu_parity(robot):
     """Compiled kernel vs the XLA general path: full multi-substep step."""
     m = _make_model(robot)
