@@ -45,6 +45,11 @@ class RunnerState:
     # default leaves this as inert zeros/ones). Updated once per epoch
     # from the global batch; GSPMD reduces the means across the mesh.
     obs_rms: Any = None
+    # continuous-rollout mode (Trainer continuous=True): per-env episode
+    # accumulators that persist across epoch boundaries, since episodes
+    # are no longer aligned to the rollout fragment (rl_games
+    # horizon_length semantics). None in the default epoch-aligned mode.
+    ep_acc: Any = None
 
 
 class Trainer:
@@ -53,14 +58,28 @@ class Trainer:
     def __init__(self, env: Engine, algo: Algorithm, seed: int = 0,
                  hidden_sizes=(64, 64), epochs: int = 100, mesh=None,
                  recurrent: bool = False, lstm_size: int = 64,
-                 log_std_init: float = -0.5, obs_norm: bool = False):
+                 log_std_init: float = -0.5, obs_norm: bool = False,
+                 continuous: bool = False, rollout_T: int = None):
         self.obs_norm = obs_norm
         self.env = env
         self.algo = algo
         self.epochs = epochs
         self.mesh = mesh
         self.B = env.env_num
-        self.T = env.num_steps  # max_ep_len == num_steps (create_env wiring)
+        # continuous mode (rl_games horizon_length semantics): the rollout
+        # fragment T decouples from the env's episode time limit, env state
+        # persists across epochs (no epoch-end reset), fragment ends are
+        # value-bootstrapped, and episodes are logged only at real dones.
+        # The GUARD reference's epoch-aligned mode (T == max_ep_len, full
+        # reset at epoch end — cpo.py:648) stays the default.
+        self.continuous = continuous
+        if continuous:
+            if algo.one_episode or recurrent or algo.augments_obs:
+                raise ValueError(
+                    "continuous rollouts do not combine with one_episode, "
+                    "recurrent, or obs-augmenting (SCPO) algorithms"
+                )
+        self.T = int(rollout_T) if rollout_T else env.num_steps
         obs_dim = env.obs_flat_size + (1 if algo.augments_obs else 0)
         # HRL's high-level policy acts in latent space; its correct_action
         # hook maps latents to env actions through the frozen LLC
@@ -131,6 +150,11 @@ class Trainer:
             obs_rms={'mu': jnp.zeros(obs_dim, jnp.float32),
                      'var': jnp.ones(obs_dim, jnp.float32),
                      'count': jnp.float32(1e-4)},
+            ep_acc=(dict(
+                ep_ret=jnp.zeros(self.B), ep_cost=jnp.zeros(self.B),
+                ep_cost_ret=jnp.zeros(self.B), ep_len=jnp.zeros(self.B),
+                gamma_pow=jnp.ones(self.B),
+            ) if self.continuous else None),
         )
         if mesh is not None:
             # shard the env axis over the mesh; GSPMD partitions the whole
@@ -231,12 +255,20 @@ class Trainer:
             ep_len = acc['ep_len'] + gate
             max_ep_len_ret = acc['max_ep_len_ret'] + rew
 
+            if self.continuous:
+                # per-env discount power, reset at episode end (episodes
+                # are not epoch-aligned in continuous mode)
+                new_gamma_pow = (
+                    acc['gamma_pow'] * algo.hp['gamma'] * (1.0 - d) + d
+                )
+            else:
+                new_gamma_pow = acc['gamma_pow'] * algo.hp['gamma']
             acc = dict(
                 acc,
                 ep_ret=ep_ret * (1 - d), ep_cost=ep_cost * (1 - d),
                 ep_cost_ret=ep_cost_ret * (1 - d), ep_len=ep_len * (1 - d),
                 max_ep_len_ret=max_ep_len_ret,
-                gamma_pow=acc['gamma_pow'] * algo.hp['gamma'],
+                gamma_pow=new_gamma_pow,
                 # episode sums over mid-epoch dones
                 sum_ep_ret=acc['sum_ep_ret'] + jnp.sum(d * ep_ret),
                 sum_ep_cost=acc['sum_ep_cost'] + jnp.sum(d * ep_cost),
@@ -299,9 +331,17 @@ class Trainer:
             return (env_state, obs2, rcarry, hid, rng, acc), out
 
         acc0 = dict(
-            ep_ret=jnp.zeros(B), ep_cost=jnp.zeros(B),
-            ep_cost_ret=jnp.zeros(B), ep_len=jnp.zeros(B),
-            max_ep_len_ret=jnp.zeros(B), gamma_pow=jnp.float32(1.0),
+            # continuous mode: resume the per-env episode accumulators
+            # saved at the previous fragment's end
+            ep_ret=rs.ep_acc['ep_ret'] if self.continuous else jnp.zeros(B),
+            ep_cost=(rs.ep_acc['ep_cost'] if self.continuous
+                     else jnp.zeros(B)),
+            ep_cost_ret=(rs.ep_acc['ep_cost_ret'] if self.continuous
+                         else jnp.zeros(B)),
+            ep_len=rs.ep_acc['ep_len'] if self.continuous else jnp.zeros(B),
+            max_ep_len_ret=jnp.zeros(B),
+            gamma_pow=(rs.ep_acc['gamma_pow'] if self.continuous
+                       else jnp.float32(1.0)),
             sum_ep_ret=jnp.float32(0.0), sum_ep_cost=jnp.float32(0.0),
             sum_ep_cost_ret=jnp.float32(0.0), sum_ep_len=jnp.float32(0.0),
             n_ep=jnp.float32(0.0), sum_cost_all=jnp.float32(0.0),
@@ -326,6 +366,11 @@ class Trainer:
         rs = rs.replace(
             env_state=env_state, obs=obs, rollout_carry=rcarry, rng=rng,
             cum_cost=rs.cum_cost + acc['sum_cost_all'],
+            ep_acc=(dict(
+                ep_ret=acc['ep_ret'], ep_cost=acc['ep_cost'],
+                ep_cost_ret=acc['ep_cost_ret'], ep_len=acc['ep_len'],
+                gamma_pow=acc['gamma_pow'],
+            ) if self.continuous else rs.ep_acc),
         )
         if self.obs_norm:
             # Welford merge of this epoch's (T*B) raw-obs statistics into
@@ -351,7 +396,7 @@ class Trainer:
             })
         return rs, batch, acc
 
-    def _build_data(self, batch, acc):
+    def _build_data(self, batch, acc, boot=None):
         """GAE + normalization + flattening (reference buf.get, cpo.py:139-172)."""
         algo = self.algo
         gamma, lam = algo.hp['gamma'], algo.hp['lam']
@@ -362,8 +407,18 @@ class Trainer:
         done_gae = done.at[-1, :].set(1.0)
         from guardx_tpu.ops.gae_scan import gae_auto
 
-        adv, ret = gae_auto(batch['rew'], batch['val'], done_gae, gamma, lam)
-        adc, cret = gae_auto(batch['cost'], batch['vc'], done_gae, gamma, lam)
+        rew_g, cost_g = batch['rew'], batch['cost']
+        if self.continuous and boot is not None:
+            # fragment end is a TRUNCATION, not a terminal: fold
+            # gamma * V(s_T) into the last reward (exact GAE identity —
+            # delta_{T-1} = r + gamma*V(s_T) - V(s_{T-1})) before the
+            # zero-bootstrap cut; same trick as the reference's timeout
+            # bootstrap (cpo.py:637-640) and rl_games value_bootstrap
+            cont = 1.0 - done[-1]
+            rew_g = rew_g.at[-1].add(gamma * boot[0] * cont)
+            cost_g = cost_g.at[-1].add(gamma * boot[1] * cont)
+        adv, ret = gae_auto(rew_g, batch['val'], done_gae, gamma, lam)
+        adc, cret = gae_auto(cost_g, batch['vc'], done_gae, gamma, lam)
 
         if algo.one_episode:
             valid = buffer.one_episode_mask(done)
@@ -409,8 +464,12 @@ class Trainer:
                 data[k] = flat(v)
 
         # epoch-end episode logging (cpo.py:641-645): envs that ran the full
-        # epoch without a reset count as one episode each
-        full = (acc['ep_len'] == self.T).astype(jnp.float32)
+        # epoch without a reset count as one episode each. In continuous
+        # mode unfinished episodes carry over instead — only real dones log.
+        if self.continuous:
+            full = jnp.zeros_like(acc['ep_len'])
+        else:
+            full = (acc['ep_len'] == self.T).astype(jnp.float32)
         n_ep = acc['n_ep'] + jnp.sum(full)
         sum_ep_ret = acc['sum_ep_ret'] + jnp.sum(full * acc['ep_ret'])
         sum_ep_cost = acc['sum_ep_cost'] + jnp.sum(full * acc['ep_cost'])
@@ -431,7 +490,16 @@ class Trainer:
     def _epoch(self, rs: RunnerState, epoch_frac, epoch_idx):
         rs, batch, acc = self._rollout(rs, epoch_frac)
         batch = self.algo.shape_rewards(self.nets, rs.algo, batch)
-        data, aux = self._build_data(batch, acc)
+        boot = None
+        if self.continuous:
+            # fragment-end critic values for truncation bootstrap
+            obs_f = jnp.nan_to_num(rs.obs, nan=0.0, posinf=0.0, neginf=0.0)
+            obs_pi_raw = self.algo.obs_for_policy(obs_f, rs.rollout_carry)
+            obs_pi = (self._normalize_obs(rs.obs_rms, obs_pi_raw)
+                      if self.obs_norm else obs_pi_raw)
+            boot = (self.nets.v_apply(rs.algo.v, obs_pi),
+                    self.nets.vc_apply(rs.algo.vc, obs_pi))
+        data, aux = self._build_data(batch, acc, boot)
         if self.algo.augments_obs:
             # epoch-end episodes contribute their final running max M
             full = (acc['ep_len'] == self.T).astype(jnp.float32)
@@ -450,24 +518,30 @@ class Trainer:
         # only one runs per epoch)
         rng, k_pool, k_env = jax.random.split(rs.rng, 3)
         refresh_every = int(getattr(self.env, 'gx_pool_refresh_every', 1) or 1)
-        if refresh_every <= 1:
+        if refresh_every <= 1 and not self.continuous:
             pool = self.env.make_layout_pool(k_pool)
         else:
             pool = jax.lax.cond(
-                (epoch_idx + 1) % refresh_every == 0,
+                (epoch_idx + 1) % max(refresh_every, 1) == 0,
                 lambda k: self.env.make_layout_pool(k),
                 lambda k: rs.pool,
                 k_pool,
             )
-        keys = jax.random.split(k_env, self.B)
-        obs, env_state = jax.vmap(
-            self.env.reset_single, in_axes=(0, None)
-        )(keys, pool)
+        if self.continuous:
+            # env state, obs, and algo rollout carry persist — episodes
+            # continue into the next fragment; only the pool refreshes
+            rs = rs.replace(algo=astate, pool=pool, rng=rng)
+        else:
+            keys = jax.random.split(k_env, self.B)
+            obs, env_state = jax.vmap(
+                self.env.reset_single, in_axes=(0, None)
+            )(keys, pool)
 
-        rs = rs.replace(
-            algo=astate, env_state=env_state, obs=obs, pool=pool, rng=rng,
-            rollout_carry=self.algo.rollout_carry_init(self.B),
-        )
+            rs = rs.replace(
+                algo=astate, env_state=env_state, obs=obs, pool=pool,
+                rng=rng,
+                rollout_carry=self.algo.rollout_carry_init(self.B),
+            )
         metrics = dict(
             metrics,
             EpRet=aux['ep_ret'], EpCost=aux['ep_cost'],

@@ -44,6 +44,15 @@ def get_parser() -> argparse.ArgumentParser:
                         help='defaults to the algo name (reference behavior)')
     parser.add_argument('--model_save', action='store_true')
     parser.add_argument('--save_freq', type=int, default=10)
+    parser.add_argument('--continuous', action='store_true',
+                        help='continuous rollouts: env state persists '
+                             'across epochs, fragment ends are value-'
+                             'bootstrapped (rl_games horizon semantics); '
+                             'pair with --rollout_horizon')
+    parser.add_argument('--rollout_horizon', type=int, default=None,
+                        help='rollout fragment length per update (default: '
+                             'max_ep_len); decouples the update cadence '
+                             'from the episode time limit')
     parser.add_argument('--layout_pool', type=int, default=None,
                         help='layout-pool candidate count (default: auto '
                              'from env_num; raise for tasks with many scene '
@@ -218,6 +227,8 @@ def run(args) -> dict:
         recurrent=recurrent, lstm_size=int(getattr(args, 'lstm', 64)),
         log_std_init=float(getattr(args, 'log_std_init', -0.5)),
         obs_norm=bool(getattr(args, 'obs_norm', False)),
+        continuous=bool(getattr(args, 'continuous', False)),
+        rollout_T=getattr(args, 'rollout_horizon', None),
     )
     logger.setup_model_saver(trainer.state.algo)
 
