@@ -635,7 +635,12 @@ def _constraints(sn, qpos, qvel, qacc_free, xpos, xmat, S, origin, L, h):
             is2 = (1.0 - is0) * (1.0 - is1)
             n_in = [mul(m, jnp.sign(local[k]))
                     for k, m in enumerate((is0, is1, is2))]
-            inside = jnp.where(dist_out < 1e-9, 1.0, 0.0)
+            # inside test on the SQUARED distance: dist_out above carries a
+            # +1e-18 sqrt guard, so it can never drop below 1e-9 and the
+            # exact-inside case (outside == 0) would take the wrong branch
+            # (zero normal => no de-penetration force — found on franka
+            # gripper-inside-cube states, 17/512 env divergence)
+            inside = jnp.where(d2_out < 1e-18, 1.0, 0.0)
             dist_sb = add(mul(inside, neg(min_g)),
                           mul(sub(1.0, inside), dist_out))
             inv_out = 1.0 / _lmax(dist_out, 1e-9)
