@@ -124,7 +124,23 @@ class AMP(PPO):
         dummy = jnp.zeros((1, 2 * feat_dim), jnp.float32)
         disc = self.disc.init(k1, dummy)
         return {'disc': disc, 'disc_opt': self._disc_opt.init(disc),
-                'disc_rng': k2}
+                'disc_rng': k2,
+                # running AMP-feature statistics shared by demo and policy
+                # discriminator inputs (rl_games normalize_amp_input —
+                # HumanoidAMPPPO.yaml; the 105-dim features span two orders
+                # of magnitude, and the gradient penalty otherwise acts in
+                # raw units)
+                'amp_rms': {'mu': jnp.zeros(feat_dim, jnp.float32),
+                            'var': jnp.ones(feat_dim, jnp.float32),
+                            'count': jnp.float32(1e-4)}}
+
+    def _norm_amp(self, rms, pairs):
+        """Normalize (..., 2, F) AMP pairs with the running stats."""
+        if not self.hp.get('amp_input_norm', True):
+            return pairs
+        return jnp.clip(
+            (pairs - rms['mu']) / jnp.sqrt(rms['var'] + 1e-8), -10.0, 10.0
+        )
 
     def style_reward(self, disc_params, pairs):
         """LSGAN AMP reward: max(0, 1 - 0.25 (D - 1)^2)."""
@@ -137,7 +153,9 @@ class AMP(PPO):
         obs = self._features(batch.get('obs_raw', batch['obs']))  # (T, B, F)
         nxt = jnp.concatenate([obs[1:], obs[-1:]], axis=0)
         pairs = jnp.stack([obs, nxt], axis=2)  # (T, B, 2, F)
-        r_style = self.style_reward(s.extra['disc'], pairs)
+        r_style = self.style_reward(
+            s.extra['disc'], self._norm_amp(s.extra['amp_rms'], pairs)
+        )
         # a transition across a reset is not a policy transition: fall back
         # to the task reward alone there (done masks the pair)
         done = batch['done']
@@ -162,14 +180,31 @@ class AMP(PPO):
         pair_valid = data['amp_pair_valid']  # (T*B,) 1 = genuine transition
         rng = s.extra['disc_rng']
         rng, k_pol, k_demo = jax.random.split(rng, 3)
+        # merge this batch's raw frame statistics into the running AMP
+        # input normalizer (Welford), then normalize both sides with the
+        # PRE-update stats (rl_games RunningMeanStd train-mode semantics)
+        rms = s.extra['amp_rms']
+        frames = pairs.reshape(-1, pairs.shape[-1])
+        nb = jnp.float32(frames.shape[0])
+        fm = jnp.mean(frames, axis=0)
+        fv = jnp.var(frames, axis=0)
+        tot = rms['count'] + nb
+        delta = fm - rms['mu']
+        amp_rms_new = {
+            'mu': rms['mu'] + delta * nb / tot,
+            'var': (rms['var'] * rms['count'] + fv * nb
+                    + delta ** 2 * rms['count'] * nb / tot) / tot,
+            'count': tot,
+        }
+
         idx_p = jax.random.randint(k_pol, (bs,), 0, pairs.shape[0])
         idx_d = jax.random.randint(k_demo, (bs,), 0, self.demos.shape[0])
-        pol = pairs[idx_p]
+        pol = self._norm_amp(rms, pairs[idx_p])
         # cross-reset / final-self pairs are not policy transitions: weight
         # them out of the least-squares loss (same masking the reward blend
         # already applies)
         w_pol = pair_valid[idx_p]
-        demo = self.demos[idx_d]
+        demo = self._norm_amp(rms, self.demos[idx_d])
         gp_w = self.hp['disc_grad_penalty']
         logit_reg = self.hp['disc_logit_reg']
 
@@ -201,7 +236,7 @@ class AMP(PPO):
         )
         _, (d_loss, gp) = disc_loss(disc)
         s = s.replace(extra={**s.extra, 'disc': disc, 'disc_opt': disc_opt,
-                             'disc_rng': rng})
+                             'disc_rng': rng, 'amp_rms': amp_rms_new})
         # separation evidence (amp_continuous.py disc_agent_acc/
         # disc_demo_acc): mean logit per side + classification accuracy at
         # the LSGAN decision boundary D = 0
