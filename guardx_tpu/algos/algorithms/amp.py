@@ -77,6 +77,12 @@ class AMP(PPO):
         hp.setdefault('task_reward_w', 0.5)
         hp.setdefault('disc_reward_w', 0.5)
         hp.setdefault('disc_hidden', (256, 128))
+        # CLI surface: --algo_hp disc_hidden=1024x512 (comma already
+        # separates entries)
+        if isinstance(hp['disc_hidden'], str):
+            hp['disc_hidden'] = tuple(
+                int(x) for x in hp['disc_hidden'].split('x')
+            )
         super().__init__(**hp)
         if demos is None:
             raise ValueError(
