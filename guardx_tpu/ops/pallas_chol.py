@@ -120,6 +120,12 @@ def solve_spd_lanes(A, b, interpret: bool = False):
     kernel = functools.partial(_chol_solve_kernel, n, m)
     x_t = pl.pallas_call(
         kernel,
+        # Mosaic's true scoped-vmem footprint exceeds the 16M default for
+        # some (n, m, blk) shapes the budget heuristic admits (GUARD
+        # humanoid n=19 m=22 at blk=1024: 18.4M); v5e has headroom
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         grid=(Bp // blk,),
         in_specs=[
             pl.BlockSpec((n, n, blk), lambda i: (0, 0, i),
