@@ -77,6 +77,20 @@ class AMP(PPO):
         hp.setdefault('task_reward_w', 0.5)
         hp.setdefault('disc_reward_w', 0.5)
         hp.setdefault('disc_hidden', (256, 128))
+        # discriminator REPLAY buffer (amp_continuous.py:185-191,240,
+        # 513-521): the policy side of the disc batch is half current
+        # policy, half a replay of PAST policies, so D cannot saturate
+        # against the current policy alone. Reference: 1M-row ring with
+        # bernoulli keep_prob=0.01 trickle once full; here a fixed-size
+        # device ring (raw pairs, normalized at sample time, like the
+        # reference which stores raw amp_obs and _preproc_amp_obs's the
+        # sample) with static store count K per update — ring while
+        # filling, random-replacement once full (the jittable equivalent
+        # of the keep_prob trickle: both leave an exponentially-decaying
+        # window over past policies).
+        hp.setdefault('amp_replay', 1)
+        hp.setdefault('amp_replay_size', 262144)
+        hp.setdefault('amp_replay_store', 8192)
         # CLI surface: --algo_hp disc_hidden=1024x512 (comma already
         # separates entries)
         if isinstance(hp['disc_hidden'], str):
@@ -129,16 +143,23 @@ class AMP(PPO):
                     else int(self.feature_idx.shape[0]))
         dummy = jnp.zeros((1, 2 * feat_dim), jnp.float32)
         disc = self.disc.init(k1, dummy)
-        return {'disc': disc, 'disc_opt': self._disc_opt.init(disc),
-                'disc_rng': k2,
+        extra = {'disc': disc, 'disc_opt': self._disc_opt.init(disc),
+                 'disc_rng': k2,
                 # running AMP-feature statistics shared by demo and policy
                 # discriminator inputs (rl_games normalize_amp_input —
                 # HumanoidAMPPPO.yaml; the 105-dim features span two orders
                 # of magnitude, and the gradient penalty otherwise acts in
                 # raw units)
-                'amp_rms': {'mu': jnp.zeros(feat_dim, jnp.float32),
-                            'var': jnp.ones(feat_dim, jnp.float32),
-                            'count': jnp.float32(1e-4)}}
+                 'amp_rms': {'mu': jnp.zeros(feat_dim, jnp.float32),
+                             'var': jnp.ones(feat_dim, jnp.float32),
+                             'count': jnp.float32(1e-4)}}
+        if int(self.hp['amp_replay']):
+            R = int(self.hp['amp_replay_size'])
+            extra['amp_replay_buf'] = jnp.zeros((R, 2, feat_dim),
+                                                jnp.float32)
+            extra['amp_replay_count'] = jnp.int32(0)
+            extra['amp_replay_head'] = jnp.int32(0)
+        return extra
 
     def _norm_amp(self, rms, pairs):
         """Normalize (..., 2, F) AMP pairs with the running stats."""
@@ -185,7 +206,7 @@ class AMP(PPO):
         pairs = data['amp_pairs']  # (T*B, 2, O) after flattening
         pair_valid = data['amp_pair_valid']  # (T*B,) 1 = genuine transition
         rng = s.extra['disc_rng']
-        rng, k_pol, k_demo = jax.random.split(rng, 3)
+        rng, k_pol, k_demo, k_rep, k_store, k_slot = jax.random.split(rng, 6)
         # merge this batch's raw frame statistics into the running AMP
         # input normalizer (Welford), then normalize both sides with the
         # PRE-update stats (rl_games RunningMeanStd train-mode semantics)
@@ -214,12 +235,48 @@ class AMP(PPO):
         gp_w = self.hp['disc_grad_penalty']
         logit_reg = self.hp['disc_logit_reg']
 
+        # -- discriminator replay: sample PAST-policy pairs, then store a
+        # slice of this batch. Sample-before-store mirrors the reference's
+        # prepare_dataset (replay drawn at line 191) running before
+        # _store_replay_amp_obs (line 240), so the replay half never
+        # contains the current policy; the very first update falls back to
+        # the current batch (amp_continuous.py:188-189).
+        use_replay = bool(int(self.hp['amp_replay']))
+        replay_state = {}
+        if use_replay:
+            buf = s.extra['amp_replay_buf']
+            cnt = s.extra['amp_replay_count']
+            head = s.extra['amp_replay_head']
+            R = buf.shape[0]
+            idx_r = jax.random.randint(k_rep, (bs,), 0, jnp.maximum(cnt, 1))
+            rep_raw = jnp.where(cnt > 0, buf[idx_r], pairs[idx_p])
+            rep = self._norm_amp(rms, rep_raw)
+            K = int(self.hp['amp_replay_store'])
+            idx_in = jax.random.randint(k_store, (K,), 0, pairs.shape[0])
+            ring_slots = (head + jnp.arange(K, dtype=jnp.int32)) % R
+            rand_slots = jax.random.randint(k_slot, (K,), 0, R)
+            slots = jnp.where(cnt < R, ring_slots, rand_slots)
+            ok = pair_valid[idx_in] > 0.0  # cross-reset pairs stay out
+            buf = buf.at[slots].set(
+                jnp.where(ok[:, None, None], pairs[idx_in], buf[slots])
+            )
+            replay_state = {
+                'amp_replay_buf': buf,
+                'amp_replay_count': jnp.minimum(cnt + K, R).astype(jnp.int32),
+                'amp_replay_head': ((head + K) % R).astype(jnp.int32),
+            }
+
         def disc_loss(p):
             d_demo = self._disc_apply(p, demo)
             d_pol = self._disc_apply(p, pol)
-            # least-squares GAN targets (amp_continuous.py: demo 1, pol -1)
-            loss = 0.5 * (jnp.mean((d_demo - 1.0) ** 2)
-                          + wmean((d_pol + 1.0) ** 2, w_pol))
+            # least-squares GAN targets (amp_continuous.py: demo 1, pol -1);
+            # with replay the agent side averages the current-policy and
+            # replay halves equally (disc_agent_cat_logit, line 313)
+            agent_sq = wmean((d_pol + 1.0) ** 2, w_pol)
+            if use_replay:
+                d_rep = self._disc_apply(p, rep)
+                agent_sq = 0.5 * (agent_sq + jnp.mean((d_rep + 1.0) ** 2))
+            loss = 0.5 * (jnp.mean((d_demo - 1.0) ** 2) + agent_sq)
             # gradient penalty on demo samples
             g = jax.vmap(jax.grad(
                 lambda x: self._disc_apply(p, x[None])[0]
@@ -242,7 +299,8 @@ class AMP(PPO):
         )
         _, (d_loss, gp) = disc_loss(disc)
         s = s.replace(extra={**s.extra, 'disc': disc, 'disc_opt': disc_opt,
-                             'disc_rng': rng, 'amp_rms': amp_rms_new})
+                             'disc_rng': rng, 'amp_rms': amp_rms_new,
+                             **replay_state})
         # separation evidence (amp_continuous.py disc_agent_acc/
         # disc_demo_acc): mean logit per side + classification accuracy at
         # the LSGAN decision boundary D = 0
@@ -258,6 +316,8 @@ class AMP(PPO):
                        StyleReward=jnp.mean(
                            self.style_reward(disc, pol)
                        ))
+        if use_replay:
+            metrics['DiscReplayLogit'] = jnp.mean(self._disc_apply(disc, rep))
         return s, metrics
 
 

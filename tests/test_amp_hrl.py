@@ -36,7 +36,8 @@ def test_amp_epoch_trains_policy_and_discriminator():
     demos = _demos(_make_env(seed=7))
     assert demos.ndim == 3 and demos.shape[1] == 2
 
-    algo = AMP(demos=demos, disc_iters=2, disc_batch=64)
+    algo = AMP(demos=demos, disc_iters=2, disc_batch=64,
+               amp_replay_size=256, amp_replay_store=32)
     tr = Trainer(env, algo, seed=0, epochs=2)
     m1 = tr.run_epoch(0)
     assert np.isfinite(m1["EpRet"])
@@ -52,7 +53,8 @@ def test_amp_style_reward_prefers_demo_like_transitions():
     """After training, D scores demo pairs above random-policy pairs."""
     env = _make_env(n=8, steps=12)
     demos = _demos(_make_env(n=8, steps=12, seed=7), n_steps=10)
-    algo = AMP(demos=demos, disc_iters=16, disc_batch=128)
+    algo = AMP(demos=demos, disc_iters=16, disc_batch=128,
+               amp_replay_size=256, amp_replay_store=32)
     tr = Trainer(env, algo, seed=0, epochs=4)
     for e in range(4):
         tr.run_epoch(e)
@@ -91,3 +93,35 @@ def test_hrl_latent_steering():
 
 def test_registry_has_amp_hrl():
     assert "amp" in REGISTRY and "hrl" in REGISTRY
+
+
+def test_amp_replay_buffer_fills_and_feeds_disc():
+    """The disc replay ring (amp_continuous.py:185-191,513-521) stores raw
+    policy pairs each update and feeds the agent side of the loss."""
+    env = _make_env()
+    demos = _demos(_make_env(seed=7))
+    algo = AMP(demos=demos, disc_iters=2, disc_batch=32,
+               amp_replay_size=128, amp_replay_store=16)
+    tr = Trainer(env, algo, seed=0, epochs=3)
+    m = tr.run_epoch(0)
+    ex = tr.state.algo.extra
+    assert int(ex["amp_replay_count"]) == 16
+    assert "DiscReplayLogit" in m and np.isfinite(m["DiscReplayLogit"])
+    for e in range(1, 3):
+        tr.run_epoch(e)
+    ex = tr.state.algo.extra
+    assert int(ex["amp_replay_count"]) == 48
+    buf = np.asarray(ex["amp_replay_buf"])
+    # stored rows are raw pairs (nonzero), unfilled tail still zero
+    assert np.abs(buf[:48]).sum() > 0.0
+    assert np.abs(buf[64:]).sum() == 0.0
+
+
+def test_amp_replay_disabled_matches_legacy_state():
+    env = _make_env()
+    demos = _demos(_make_env(seed=7))
+    algo = AMP(demos=demos, disc_iters=2, disc_batch=32, amp_replay=0)
+    tr = Trainer(env, algo, seed=0, epochs=1)
+    m = tr.run_epoch(0)
+    assert "amp_replay_buf" not in tr.state.algo.extra
+    assert "DiscReplayLogit" not in m

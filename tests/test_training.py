@@ -32,7 +32,8 @@ def _algo_extra_kwargs(name, env):
     if name == 'amp':
         rs = np.random.RandomState(0)
         return {'demos': rs.randn(32, 2, env.obs_flat_size).astype(np.float32),
-                'disc_iters': 2, 'disc_batch': 16}
+                'disc_iters': 2, 'disc_batch': 16,
+                'amp_replay_size': 256, 'amp_replay_store': 32}
     if name == 'hrl':
         import jax.numpy as jnp
 
@@ -232,7 +233,8 @@ def test_amp_obs_norm_features_stay_raw():
     env = Engine(cfg)
     demos = _np.random.RandomState(0).randn(
         32, 2, env.obs_flat_size).astype('f4')
-    algo = AMP(demos=demos, target_cost=0.0, target_kl=0.02)
+    algo = AMP(demos=demos, target_cost=0.0, target_kl=0.02,
+               amp_replay_size=256, amp_replay_store=32)
     assert algo.wants_raw_obs
     tr = Trainer(env, algo, seed=0, epochs=1, obs_norm=True)
     m = tr.run_epoch(0)
