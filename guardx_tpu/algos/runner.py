@@ -301,6 +301,10 @@ class Trainer:
                 logp=logp, mu=mu, logstd=log_std, cost=stored_cost,
                 raw_cost=cost, done=done,
             )
+            if 'timeout' in info:
+                # per-step truncation flag for the continuous-mode value
+                # bootstrap (_build_data)
+                out['timeout'] = info['timeout']
             if self.obs_norm and getattr(algo, 'wants_raw_obs', False):
                 out['obs_raw'] = obs_pi_raw
             for k, vv in act_extra.items():
@@ -408,6 +412,15 @@ class Trainer:
         from guardx_tpu.ops.gae_scan import gae_auto
 
         rew_g, cost_g = batch['rew'], batch['cost']
+        if self.continuous and 'timeout' in batch:
+            # MID-fragment max_ep_len truncations: not deaths. rl_games
+            # value_bootstrap (a2c_common.py: rewards += gamma * values *
+            # timeouts) approximates the unavailable V(s_{t+1}) by V(s_t)
+            # and folds gamma*V into the truncated step's reward before
+            # the zero-bootstrap cut at done
+            to = batch['timeout']
+            rew_g = rew_g + gamma * batch['val'] * to
+            cost_g = cost_g + gamma * batch['vc'] * to
         if self.continuous and boot is not None:
             # fragment end is a TRUNCATION, not a terminal: fold
             # gamma * V(s_T) into the last reward (exact GAE identity —

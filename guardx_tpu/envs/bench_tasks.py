@@ -1053,11 +1053,19 @@ class NativeBenchEngine:
         reward = jnp.where(bad, 0.0, reward)
         done = jnp.where(bad, 1.0, done)
 
+        # a max_ep_len cut is a TRUNCATION, not a terminal state: report it
+        # distinctly so the trainer can value-bootstrap it (rl_games
+        # a2c_common.py value_bootstrap / IsaacGym's timeout_buf); a
+        # simultaneous natural done stays a termination
+        timeout = jnp.where(
+            (mid.steps > self.num_steps) & (done < 0.5), 1.0, 0.0
+        )
         done = jnp.where(mid.steps > self.num_steps, 1.0, done)
         steps = jnp.where(done > 0.0, 0, mid.steps + 1)
         rng, _ = jax.random.split(mid.rng)
         new_state = mid.replace(steps=steps, rng=rng)
-        info = {'cost': jnp.float32(0.0)}  # zero-cost pad (wrapper parity)
+        info = {'cost': jnp.float32(0.0),  # zero-cost pad (wrapper parity)
+                'timeout': timeout}
         return obs, reward, done, info, new_state
 
     def reset_done_single(self, state: BenchState, done, flat_obs,

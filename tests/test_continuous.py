@@ -60,3 +60,34 @@ def test_continuous_guards():
     with pytest.raises(ValueError):
         Trainer(env, REGISTRY['scpo'](target_cost=0.0, target_kl=0.02),
                 seed=0, continuous=True, rollout_T=8)
+
+
+def test_timeout_flag_and_value_bootstrap():
+    """A max_ep_len cut inside a fragment is a truncation: the bench envs
+    report info['timeout'] distinctly from natural dones, and continuous
+    mode folds gamma*V(s_t) into the truncated step's reward (rl_games
+    a2c_common.py value_bootstrap)."""
+    import jax
+    from guardx_tpu.envs.bench_tasks import NativeBenchEngine
+
+    env = NativeBenchEngine("Cartpole", env_num=8, num_steps=5, seed=0)
+    tr = Trainer(env, REGISTRY['ppo'](target_kl=0.02), seed=0,
+                 continuous=True, rollout_T=16)
+    # run the rollout alone and inspect the stored batch
+    rs, batch, acc = tr._rollout(tr.state, jnp.float32(0.0))
+    to = np.asarray(batch['timeout'])
+    done = np.asarray(batch['done'])
+    assert to.shape == done.shape
+    assert to.sum() > 0, "5-step limit inside a 16-step fragment must truncate"
+    assert np.all(done[to > 0] == 1.0), "every timeout is also a done"
+    # the GAE rewards at truncated steps carry the gamma*V bootstrap
+    data, aux = tr._build_data(batch, acc, None)
+    gamma = tr.algo.hp['gamma']
+    rew_boot = np.asarray(batch['rew']) + gamma * np.asarray(batch['val']) * to
+    T, B = done.shape
+    ret = np.asarray(data['ret']).reshape(T, B)
+    # at a truncated step the return equals the bootstrapped reward exactly
+    # (done cuts the tail)
+    idx = np.argwhere(to > 0)
+    t0, b0 = idx[0]
+    assert np.allclose(ret[t0, b0], rew_boot[t0, b0], rtol=1e-5, atol=1e-5)
