@@ -138,12 +138,13 @@ class AMP(PPO):
         return params['params'][last]['kernel']
 
     def init_extra(self, rng, nets):
-        k1, k2 = jax.random.split(rng)
+        k1, k2, k3 = jax.random.split(rng, 3)
         feat_dim = (nets.obs_dim if self.feature_idx is None
                     else int(self.feature_idx.shape[0]))
         dummy = jnp.zeros((1, 2 * feat_dim), jnp.float32)
         disc = self.disc.init(k1, dummy)
-        extra = {'disc': disc, 'disc_opt': self._disc_opt.init(disc),
+        extra = {**super().init_extra(k3, nets),
+                 'disc': disc, 'disc_opt': self._disc_opt.init(disc),
                  'disc_rng': k2,
                 # running AMP-feature statistics shared by demo and policy
                 # discriminator inputs (rl_games normalize_amp_input —

@@ -34,10 +34,21 @@ class PPO(Algorithm):
         hp.setdefault('clip_ratio', 0.2)
         hp.setdefault('pi_lr', 3e-4)
         hp.setdefault('train_pi_iters', 80)
+        # rl_games-style minibatched optimization (a2c_common.py
+        # train_epoch: mini_epochs sweeps x N/minibatch_size SGD steps).
+        # minibatch_size=0 (default) keeps the GUARD reference's
+        # full-batch train_pi_iters + KL early-stop semantics
+        # (ppo_runner.py:323-331). The FrankaCubeStack r5 diagnosis
+        # (LEARNING.md) names this optimization regime — thousands of
+        # small clipped steps — as what escapes the hold-align optimum.
+        hp.setdefault('minibatch_size', 0)
+        hp.setdefault('mini_epochs', 6)
         super().__init__(**hp)
         self._pi_opt = optax.adam(self.hp['pi_lr'])
 
     def init_extra(self, rng, nets):
+        if int(self.hp['minibatch_size']) > 0:
+            return {'pi_rng': rng}
         return {}
 
     def init_pi_opt(self, pi_params):
@@ -60,6 +71,12 @@ class PPO(Algorithm):
             return loss, approx_kl
 
         pi_l_old, _ = loss_fn(s.pi)
+
+        mbs = int(self.hp['minibatch_size'])
+        if mbs > 0 and not nets.recurrent:
+            return self._update_minibatched(
+                nets, s, data, aux, opts, loss_fn, pi_l_old
+            )
 
         # train_pi_iters Adam steps with early stop when kl > target_kl
         # (ppo_runner.py:323-331) as a while_loop
@@ -90,6 +107,70 @@ class PPO(Algorithm):
 
         approx_kl, ent = pi_diagnostics(nets, s.pi, data)
         loss_new, _ = loss_fn(s.pi)
+        return s, dict(
+            LossPi=pi_l_old, DeltaLossPi=loss_new - pi_l_old,
+            KL=approx_kl, Entropy=ent, StopIter=i.astype(jnp.float32),
+            **critic_metrics,
+        )
+
+    def _update_minibatched(self, nets, s, data, aux, opts, loss_full,
+                            pi_l_old):
+        """mini_epochs x (N // minibatch_size) clipped-surrogate Adam steps
+        on random minibatches (a2c_common.py train_epoch structure), with
+        the KL early stop evaluated on each minibatch's estimate.
+        Feedforward policies only — recurrent sequence replay needs the
+        full (T, B) batch and stays on the full-batch path."""
+        act, adv = data['act'], data['adv']
+        logp_old, w = data['logp'], data['valid']
+        clip = self.hp['clip_ratio']
+        tk = self.hp['target_kl']
+        mbs = int(self.hp['minibatch_size'])
+        N = act.shape[0]
+        n_mb = max(N // mbs, 1)
+        total = max(int(self.hp['mini_epochs']), 1) * n_mb
+
+        def loss_mb(p, idx):
+            mu, log_std = nets.pi_apply(p, data['obs'][idx])
+            logp = core.gaussian_logp(mu, log_std, act[idx])
+            ratio = jnp.exp(logp - logp_old[idx])
+            clip_adv = jnp.clip(ratio, 1 - clip, 1 + clip) * adv[idx]
+            loss = -wmean(jnp.minimum(ratio * adv[idx], clip_adv), w[idx])
+            approx_kl = wmean(logp_old[idx] - logp, w[idx])
+            return loss, approx_kl
+
+        def cond(carry):
+            i, p, opt_state, kl, rng = carry
+            return jnp.logical_and(i < total, kl <= tk)
+
+        def body(carry):
+            i, p, opt_state, _, rng = carry
+            rng, k = jax.random.split(rng)
+            idx = jax.random.randint(k, (mbs,), 0, N)
+            (loss, kl), grads = jax.value_and_grad(
+                loss_mb, has_aux=True
+            )(p, idx)
+            updates, new_opt = self._pi_opt.update(grads, opt_state, p)
+            new_p = optax.apply_updates(p, updates)
+            stop = kl > tk
+            p = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(stop, a, b), p, new_p
+            )
+            opt_state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(stop, a, b), opt_state, new_opt
+            )
+            return i + 1, p, opt_state, kl, rng
+
+        i, pi, pi_opt, kl, rng = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), s.pi, s.extra['pi_opt'], jnp.float32(0.0),
+             s.extra['pi_rng']),
+        )
+        s = s.replace(pi=pi, extra={**s.extra, 'pi_opt': pi_opt,
+                                    'pi_rng': rng})
+        s, critic_metrics = self.fit_critics(nets, s, data, opts['v'],
+                                             opts['vc'])
+        approx_kl, ent = pi_diagnostics(nets, s.pi, data)
+        loss_new, _ = loss_full(s.pi)
         return s, dict(
             LossPi=pi_l_old, DeltaLossPi=loss_new - pi_l_old,
             KL=approx_kl, Entropy=ent, StopIter=i.astype(jnp.float32),

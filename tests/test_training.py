@@ -240,3 +240,26 @@ def test_amp_obs_norm_features_stay_raw():
     m = tr.run_epoch(0)
     assert np.isfinite(m['LossDisc'])
     assert np.isfinite(m['StyleReward'])
+
+
+def test_ppo_minibatched_update_learns_and_respects_kl():
+    """rl_games-style minibatched PPO (minibatch_size>0): the policy
+    improves on the clipped surrogate and the per-minibatch KL early stop
+    engages like the full-batch path's."""
+    from guardx_tpu.algos.algorithms.pg_family import PPO
+
+    cfg = {'env_num': 16, 'num_steps': 24, 'task': 'goal',
+           'goal_size': 0.5, 'hazards_num': 8, 'hazards_size': 0.3,
+           'constrain_hazards': True, 'constrain_indicator': False,
+           '_seed': 0, 'gx_layout_pool': 2048}
+    env = Engine(cfg)
+    algo = PPO(target_kl=0.02, minibatch_size=64, mini_epochs=3,
+               train_v_iters=2, train_vc_iters=2)
+    tr = Trainer(env, algo, seed=0, epochs=2)
+    assert 'pi_rng' in tr.state.algo.extra
+    m = tr.run_epoch(0)
+    assert np.isfinite(m['KL']) and np.isfinite(m['LossPi'])
+    # minibatched path takes at most mini_epochs * (N // mbs) steps
+    assert 0 < m['StopIter'] <= 3 * (16 * 24 // 64)
+    m2 = tr.run_epoch(1)
+    assert np.isfinite(m2['DeltaLossPi'])
