@@ -43,12 +43,22 @@ class PPO(Algorithm):
         # small clipped steps — as what escapes the hold-align optimum.
         hp.setdefault('minibatch_size', 0)
         hp.setdefault('mini_epochs', 6)
+        # rl_games schedulers (rl_games schedulers.py, selected by the
+        # train yaml's lr_schedule): 'fixed' keeps OUR KL early stop;
+        # 'constant' takes every minibatch step at constant lr with NO
+        # early stop (HumanoidAMPPPO.yaml); 'adaptive' additionally
+        # scales lr by 1.5 around kl_threshold (FrankaCubeStackPPO.yaml)
+        hp.setdefault('lr_schedule', 'fixed')
+        hp.setdefault('kl_threshold', 0.008)
         super().__init__(**hp)
         self._pi_opt = optax.adam(self.hp['pi_lr'])
 
     def init_extra(self, rng, nets):
         if int(self.hp['minibatch_size']) > 0:
-            return {'pi_rng': rng}
+            extra = {'pi_rng': rng}
+            if str(self.hp['lr_schedule']) == 'adaptive':
+                extra['pi_lr_now'] = jnp.float32(self.hp['pi_lr'])
+            return extra
         return {}
 
     def init_pi_opt(self, pi_params):
@@ -128,6 +138,9 @@ class PPO(Algorithm):
         N = act.shape[0]
         n_mb = max(N // mbs, 1)
         total = max(int(self.hp['mini_epochs']), 1) * n_mb
+        sched = str(self.hp['lr_schedule'])
+        kl_thr = float(self.hp['kl_threshold'])
+        base_lr = float(self.hp['pi_lr'])
 
         def loss_mb(p, idx):
             mu, log_std = nets.pi_apply(p, data['obs'][idx])
@@ -139,43 +152,69 @@ class PPO(Algorithm):
             return loss, approx_kl
 
         def cond(carry):
-            i, p, opt_state, kl, rng = carry
-            return jnp.logical_and(i < total, kl <= tk)
+            i, p, opt_state, kl, rng, lr = carry
+            if sched == 'fixed':
+                # our KL early stop (GUARD ppo_runner.py:323-331 carried
+                # into the minibatch regime)
+                return jnp.logical_and(i < total, kl <= tk)
+            # rl_games schedulers take EVERY minibatch step — no early
+            # stop; 'constant' keeps lr, 'adaptive' scales it
+            return i < total
 
         def body(carry):
-            i, p, opt_state, _, rng = carry
+            i, p, opt_state, _, rng, lr = carry
             rng, k = jax.random.split(rng)
             idx = jax.random.randint(k, (mbs,), 0, N)
             (loss, kl), grads = jax.value_and_grad(
                 loss_mb, has_aux=True
             )(p, idx)
             updates, new_opt = self._pi_opt.update(grads, opt_state, p)
+            if sched == 'adaptive':
+                # rl_games AdaptiveScheduler: kl > 2*threshold -> lr/1.5,
+                # kl < 0.5*threshold -> lr*1.5, clamped to [1e-6, 1e-2];
+                # realized by scaling Adam's update (linear in lr)
+                lr = jnp.where(kl > 2.0 * kl_thr,
+                               jnp.maximum(lr / 1.5, 1e-6), lr)
+                lr = jnp.where(kl < 0.5 * kl_thr,
+                               jnp.minimum(lr * 1.5, 1e-2), lr)
+                updates = jax.tree_util.tree_map(
+                    lambda u: u * (lr / base_lr), updates
+                )
             new_p = optax.apply_updates(p, updates)
-            stop = kl > tk
-            p = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(stop, a, b), p, new_p
-            )
-            opt_state = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(stop, a, b), opt_state, new_opt
-            )
-            return i + 1, p, opt_state, kl, rng
+            if sched == 'fixed':
+                stop = kl > tk
+                new_p = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(stop, a, b), p, new_p
+                )
+                new_opt = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(stop, a, b), opt_state, new_opt
+                )
+            return i + 1, new_p, new_opt, kl, rng, lr
 
-        i, pi, pi_opt, kl, rng = jax.lax.while_loop(
+        lr0 = (s.extra['pi_lr_now'] if sched == 'adaptive'
+               else jnp.float32(base_lr))
+        i, pi, pi_opt, kl, rng, lr_out = jax.lax.while_loop(
             cond, body,
             (jnp.int32(0), s.pi, s.extra['pi_opt'], jnp.float32(0.0),
-             s.extra['pi_rng']),
+             s.extra['pi_rng'], lr0),
         )
-        s = s.replace(pi=pi, extra={**s.extra, 'pi_opt': pi_opt,
-                                    'pi_rng': rng})
+        new_extra = {**s.extra, 'pi_opt': pi_opt, 'pi_rng': rng}
+        if sched == 'adaptive':
+            # lr persists across epochs (rl_games keeps the scheduler state)
+            new_extra['pi_lr_now'] = lr_out
+        s = s.replace(pi=pi, extra=new_extra)
         s, critic_metrics = self.fit_critics(nets, s, data, opts['v'],
                                              opts['vc'])
         approx_kl, ent = pi_diagnostics(nets, s.pi, data)
         loss_new, _ = loss_full(s.pi)
-        return s, dict(
+        out = dict(
             LossPi=pi_l_old, DeltaLossPi=loss_new - pi_l_old,
             KL=approx_kl, Entropy=ent, StopIter=i.astype(jnp.float32),
             **critic_metrics,
         )
+        if sched == 'adaptive':
+            out['LrNow'] = lr_out
+        return s, out
 
 
 class A2C(Algorithm):

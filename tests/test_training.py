@@ -263,3 +263,36 @@ def test_ppo_minibatched_update_learns_and_respects_kl():
     assert 0 < m['StopIter'] <= 3 * (16 * 24 // 64)
     m2 = tr.run_epoch(1)
     assert np.isfinite(m2['DeltaLossPi'])
+
+
+def test_ppo_minibatched_rlgames_schedules():
+    """'constant' takes every minibatch step (no early stop); 'adaptive'
+    additionally moves the persistent lr by 1.5x around kl_threshold
+    (rl_games schedulers.py semantics)."""
+    from guardx_tpu.algos.algorithms.pg_family import PPO
+
+    cfg = {'env_num': 16, 'num_steps': 24, 'task': 'goal',
+           'goal_size': 0.5, 'hazards_num': 8, 'hazards_size': 0.3,
+           'constrain_hazards': True, 'constrain_indicator': False,
+           '_seed': 0, 'gx_layout_pool': 2048}
+    total = 3 * (16 * 24 // 64)
+    env = Engine(cfg)
+    algo = PPO(target_kl=1e-9, minibatch_size=64, mini_epochs=3,
+               lr_schedule='constant', train_v_iters=2, train_vc_iters=2)
+    tr = Trainer(env, algo, seed=0, epochs=1)
+    m = tr.run_epoch(0)
+    # an impossible target_kl would stop the 'fixed' path at iter 1;
+    # 'constant' must take every step
+    assert m['StopIter'] == total
+
+    env = Engine(cfg)
+    algo = PPO(target_kl=1e-9, minibatch_size=64, mini_epochs=3,
+               lr_schedule='adaptive', kl_threshold=1e-7, pi_lr=3e-4,
+               train_v_iters=2, train_vc_iters=2)
+    tr = Trainer(env, algo, seed=0, epochs=1)
+    m = tr.run_epoch(0)
+    assert m['StopIter'] == total
+    # kl >> 2*threshold on every step: lr must have decayed from pi_lr
+    assert 'LrNow' in m and m['LrNow'] < 3e-4
+    assert float(tr.state.algo.extra['pi_lr_now']) == pytest.approx(
+        float(m['LrNow']))
